@@ -1,0 +1,129 @@
+"""Deterministic hashing kernels: stable 64-bit hash, MinHash, SimHash.
+
+Python's builtin ``hash`` is salted per-process, so it can never be used
+on executors — every hash here is derived from blake2b and is a pure
+function of its input, reproducible across workers, runs, and resumes
+(the stable-cluster-id requirement of the north rule).
+"""
+
+from __future__ import annotations
+
+from hashlib import blake2b
+
+import numpy as np
+
+_MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def hash64(s: str, seed: int = 0) -> int:
+    """Stable 64-bit hash of a string."""
+    h = blake2b(s.encode("utf-8"), digest_size=8, salt=seed.to_bytes(8, "little"))
+    return int.from_bytes(h.digest(), "little")
+
+
+def hash_tokens64(tokens) -> np.ndarray:
+    """Vector of stable 64-bit hashes (uint64) for a token list."""
+    if not tokens:
+        return np.empty(0, dtype=np.uint64)
+    return np.fromiter(
+        (hash64(t) for t in tokens), dtype=np.uint64, count=len(tokens)
+    )
+
+
+def _minhash_perms(num_perm: int, seed: int = 1):
+    """Affine permutation parameters (a odd, b) drawn deterministically."""
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, 1 << 62, size=num_perm).astype(np.uint64) * np.uint64(2) + np.uint64(1)
+    b = rng.randint(0, 1 << 62, size=num_perm).astype(np.uint64)
+    return a, b
+
+
+# module-level cache: perms for the default configuration are built once
+# per executor process, not once per Arrow batch.
+_PERM_CACHE: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
+
+
+def minhash_from_hashes(base: np.ndarray, num_perm: int = 64, seed: int = 1) -> np.ndarray:
+    """MinHash signature (uint64[num_perm]) from pre-hashed tokens.
+
+    Affine family h_i(x) = a_i * x + b_i over Z_2^64 (odd multiplier ⇒
+    bijective), minimized over the token base-hashes. Empty input yields
+    the all-max signature (matches nothing).
+    """
+    key = (num_perm, seed)
+    if key not in _PERM_CACHE:
+        _PERM_CACHE[key] = _minhash_perms(num_perm, seed)
+    a, b = _PERM_CACHE[key]
+    if base.size == 0:
+        return np.full(num_perm, _MASK64, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        # (num_perm, n_tokens) grid of permuted hashes, min over tokens
+        grid = a[:, None] * base[None, :] + b[:, None]
+    return grid.min(axis=1)
+
+
+def minhash_signature(tokens, num_perm: int = 64, seed: int = 1) -> np.ndarray:
+    """MinHash signature (uint64[num_perm]) of a token set."""
+    return minhash_from_hashes(hash_tokens64(tokens), num_perm=num_perm, seed=seed)
+
+
+def minhash_band_keys(
+    signature: np.ndarray, bands: int = 16, prefix: str = "mh"
+) -> list[str]:
+    """LSH band keys: the signature split into ``bands`` equal row-groups,
+    each group hashed to one bucket key string ``"{prefix}:{band}:{hex}"``.
+
+    Two documents share a band key iff that band of their signatures is
+    identical — the classic banding construction (probability of sharing
+    ≥1 key = 1-(1-s^r)^b for Jaccard s, r rows per band).
+    """
+    num_perm = signature.shape[0]
+    rows = num_perm // bands
+    keys = []
+    for band in range(bands):
+        chunk = signature[band * rows : (band + 1) * rows]
+        digest = blake2b(chunk.tobytes(), digest_size=8).hexdigest()
+        keys.append(f"{prefix}:{band}:{digest}")
+    return keys
+
+
+def simhash_from_hashes(base: np.ndarray, weights=None) -> int:
+    """64-bit SimHash from pre-hashed tokens (optionally weighted).
+
+    Sum ±weight per bit over token hashes; sign of each bit-sum gives the
+    fingerprint bit. Near-identical token sets differ in few bits.
+    """
+    if base.size == 0:
+        return 0
+    if weights is None:
+        w = np.ones(base.size, dtype=np.float64)
+    else:
+        w = np.asarray(weights, dtype=np.float64)
+    bits = ((base[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
+        np.float64
+    )
+    acc = ((bits * 2.0 - 1.0) * w[:, None]).sum(axis=0)
+    out = np.uint64(0)
+    for i in range(64):
+        if acc[i] > 0:
+            out |= np.uint64(1) << np.uint64(i)
+    return int(out)
+
+
+def simhash64(tokens, weights=None) -> int:
+    """64-bit SimHash of a token multiset (optionally weighted)."""
+    return simhash_from_hashes(hash_tokens64(tokens), weights=weights)
+
+
+def hamming64(a: int, b: int) -> int:
+    """Hamming distance between two 64-bit fingerprints."""
+    return bin((int(a) ^ int(b)) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+
+def simhash_prefix_key(fingerprint: int, bits: int = 16, rotation: int = 0) -> str:
+    """Blocking key = top ``bits`` of the fingerprint rotated left by
+    ``rotation`` — multiple rotations give multiple chances for near
+    fingerprints to collide (standard SimHash table construction)."""
+    fp = int(fingerprint) & 0xFFFFFFFFFFFFFFFF
+    rot = ((fp << rotation) | (fp >> (64 - rotation))) & 0xFFFFFFFFFFFFFFFF if rotation else fp
+    return f"sh:{rotation}:{rot >> (64 - bits):04x}"

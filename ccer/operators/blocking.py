@@ -1,0 +1,155 @@
+"""Multi-pass blocking: normalized-url / host / MinHash-LSH / SimHash keys,
+materialized as salted, skew-aware block rows.
+
+Blocking is the reference's equi-key prefilter generalized
+(reference: query_db/repository.py:112-142 — the blocked fuzzy linkage
+join runs the expensive similarity UDF only inside doi/work_id blocks).
+Here the block keys are content-derived:
+
+- ``url``  — exact normalized-url key (catches re-crawls for free)
+- ``host`` — normalized host (cheap, high-recall for same-site dups)
+- ``minhash`` — LSH band keys over the stored MinHash signature
+- ``simhash`` — rotated 16-bit fingerprint prefixes
+
+Everything here is JVM-side column algebra over the features table — the
+Python work (signatures) happened once in the features pass. MinHash band
+keys are ``xxhash64`` over signature slices; SimHash keys are bit ops on
+the stored long. Catalyst sees plain projections + a groupBy, so the
+whole stage is whole-stage-codegen'd and shuffles exactly once (the
+block-size profile).
+
+Skew (north rule "salted, skew-aware block partitions"): a block larger
+than ``block_cap`` would cost O(n²) in the in-block self-join — one
+mega-host block of 10^8 rows is 10^16 pairs. Oversized blocks are
+subdivided by a CONTENT-DERIVED salt (the top ``salt_bits`` of the
+record's SimHash) rather than a random one: exact and near duplicates
+agree on those bits with high probability, so they stay co-blocked, while
+the block's quadratic cost drops by 4^salt_bits. Random-salt alternatives
+lose ALL cross-salt pairs; this loses only far pairs the other passes
+(minhash bands) still cover.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+DEFAULT_PASSES = ("url", "host", "minhash", "simhash")
+
+
+def block_keys(
+    features: DataFrame,
+    passes=DEFAULT_PASSES,
+    minhash_bands: int = 32,
+    simhash_bits: int = 16,
+    simhash_rotations=(0, 21, 43),
+) -> DataFrame:
+    """features → (block_key string, id long, simhash long) block rows."""
+    num_perm = 128  # matches features default; slices validated at runtime
+    rows_per_band = num_perm // minhash_bands
+    parts = []
+    base = features.select("id", "simhash", "sig", "url_norm", "host", "lang")
+
+    if "url" in passes:
+        parts.append(
+            base.filter(F.col("url_norm") != "").select(
+                F.concat(F.lit("u:"), F.col("url_norm")).alias("block_key"),
+                "id",
+                "simhash",
+            )
+        )
+    if "host" in passes:
+        parts.append(
+            base.filter(F.col("host") != "").select(
+                F.concat(F.lit("h:"), F.col("host")).alias("block_key"),
+                "id",
+                "simhash",
+            )
+        )
+    if "minhash" in passes:
+        band_cols = [
+            F.concat_ws(
+                ":",
+                F.lit("m"),
+                F.lit(str(band)),
+                F.xxhash64(F.slice("sig", band * rows_per_band + 1, rows_per_band)),
+            )
+            for band in range(minhash_bands)
+        ]
+        parts.append(
+            base.select(
+                F.explode(F.array(*band_cols)).alias("block_key"), "id", "simhash"
+            )
+        )
+    if "simhash" in passes:
+        shift = 64 - simhash_bits
+        key_cols = []
+        for rot in simhash_rotations:
+            if rot == 0:
+                rotated = F.col("simhash")
+            else:
+                rotated = F.shiftleft("simhash", rot).bitwiseOR(
+                    F.shiftrightunsigned("simhash", 64 - rot)
+                )
+            key_cols.append(
+                F.concat_ws(
+                    ":", F.lit("s"), F.lit(str(rot)), F.shiftrightunsigned(rotated, shift)
+                )
+            )
+        parts.append(
+            base.select(F.explode(F.array(*key_cols)).alias("block_key"), "id", "simhash")
+        )
+
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def salt_oversized_blocks(
+    blocks: DataFrame, block_cap: int = 500, salt_bits: int = 12
+) -> DataFrame:
+    """Subdivide blocks larger than ``block_cap`` by SimHash-prefix salt.
+
+    One aggregation (block-size profile) + one broadcast-friendly join of
+    the oversized-key list back onto the block rows. The profile of
+    oversized keys is tiny (it is the skew tail by construction), so
+    Catalyst broadcasts it and the block rows are never shuffled twice.
+    """
+    sizes = blocks.groupBy("block_key").count()
+    oversized = sizes.filter(F.col("count") > block_cap).select("block_key")
+    salted = (
+        blocks.join(F.broadcast(oversized.withColumn("_over", F.lit(True))), "block_key", "left")
+        .withColumn(
+            "block_key",
+            F.when(
+                F.col("_over").isNotNull(),
+                F.concat_ws(
+                    ":",
+                    F.col("block_key"),
+                    F.shiftrightunsigned("simhash", 64 - salt_bits),
+                ),
+            ).otherwise(F.col("block_key")),
+        )
+        .drop("_over")
+    )
+    return salted
+
+
+def candidate_pairs(blocks: DataFrame, pair_cap_per_block: int | None = None) -> DataFrame:
+    """In-block self-join → distinct candidate id pairs (id_a < id_b).
+
+    The join is a plain shuffle hash/sort-merge join on block_key — the
+    one place the engine is quadratic, which is exactly why blocks were
+    capped upstream. ``dropDuplicates`` dedups pairs discovered by
+    multiple passes (reference analog: DISTINCT over the OR-join,
+    repository.py:113).
+    """
+    left = blocks.select(F.col("block_key"), F.col("id").alias("id_a"))
+    right = blocks.select(F.col("block_key"), F.col("id").alias("id_b"))
+    pairs = (
+        left.join(right, "block_key")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return pairs

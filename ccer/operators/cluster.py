@@ -1,0 +1,105 @@
+"""Iterative connected components: large-star / small-star over match edges.
+
+The transitive-closure step of the reconcile semantics — the reference's
+"clusters" are works connected through shared normalized affiliation keys
+(SURVEY.md overview); here they are pages connected through match edges.
+
+Algorithm: alternating large-star / small-star (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'13), expressed as
+DataFrame groupBy/join rounds:
+
+- large-star: for each node u, attach every strictly-larger neighbor to
+  the minimum of N(u) ∪ {u};
+- small-star: canonicalize edges (u > v), attach u and all its smaller
+  neighbors to the minimum.
+
+Both preserve connectivity and strictly reduce the sum of component
+"heights"; convergence is O(log n) rounds on real graphs. Each round is
+two shuffles (groupBy min + join back). Per-round ``localCheckpoint``
+truncates the lineage so the plan doesn't grow exponentially — at cluster
+scale this becomes a checkpoint to the stage store (the pipeline layer
+does exactly that for the final labels).
+
+Labels are CONTENT-DERIVED: the component representative is the minimum
+stable record id, never an execution-order artifact — ids are identical
+across re-runs, resumes, and different partition counts (north rule's
+"stable cluster ids").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    bi = edges.select(F.col("id_a").alias("u"), F.col("id_b").alias("v")).unionAll(
+        edges.select(F.col("id_b").alias("u"), F.col("id_a").alias("v"))
+    )
+    mins = bi.groupBy("u").agg(F.min("v").alias("mn"))
+    mins = mins.select("u", F.least("mn", "u").alias("m"))
+    return (
+        bi.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("id_a"), F.col("m").alias("id_b"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    canon = edges.select(
+        F.greatest("id_a", "id_b").alias("u"), F.least("id_a", "id_b").alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    mins = canon.groupBy("u").agg(F.min("v").alias("m"))
+    neighbors = canon.join(mins, "u").filter(F.col("v") != F.col("m")).select(
+        F.col("v").alias("id_a"), F.col("m").alias("id_b")
+    )
+    self_edges = mins.select(F.col("u").alias("id_a"), F.col("m").alias("id_b"))
+    return neighbors.unionAll(self_edges).distinct()
+
+
+def connected_components(
+    edges: DataFrame, max_iterations: int = 50
+) -> DataFrame:
+    """Match edges (id_a, id_b) → component mapping (id, component).
+
+    ``component`` = min record id of the component. Nodes present in the
+    edge list only; the pipeline unions in singletons afterwards.
+
+    Convergence detection: an exact, order-insensitive digest
+    (count, Σ xxhash64 as decimal(38,0) — overflow-free under ANSI mode)
+    computed over the just-checkpointed edges; the digest job reads the
+    materialized checkpoint, so it costs one cheap cached-RDD pass, not a
+    recomputation.
+    """
+    current = edges.select("id_a", "id_b").filter(F.col("id_a") != F.col("id_b")).distinct()
+    current = current.localCheckpoint(eager=True)
+    prev_digest = None
+    for _ in range(max_iterations):
+        current = _small_star(_large_star(current))
+        current = current.localCheckpoint(eager=True)
+        row = current.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("id_a", "id_b").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        digest = (row["n"], row["h"])
+        if digest == prev_digest:
+            break
+        prev_digest = digest
+    # converged star graph: every edge is (node, root); roots map to themselves
+    nodes = current.select(F.col("id_a").alias("id"), F.col("id_b").alias("component"))
+    roots = current.select(F.col("id_b").alias("id"), F.col("id_b").alias("component"))
+    return nodes.unionAll(roots).groupBy("id").agg(F.min("component").alias("component"))
+
+
+def assign_clusters(features: DataFrame, components: DataFrame) -> DataFrame:
+    """Attach cluster ids to every record; singletons get their own id.
+
+    Left join on the stable id + coalesce — the reference's "every input
+    row appears in the output" contract.
+    """
+    return (
+        features.join(components, features.id == components.id, "left")
+        .drop(components.id)
+        .withColumn("cluster_id", F.coalesce("component", features.id))
+        .drop("component")
+    )

@@ -1,0 +1,123 @@
+"""The flagship plan: pages → features → blocks → pairs → edges →
+components → clusters, each stage checkpointed and resumable.
+
+Reference lifecycle analog: FileProcessor.run (query_db/workflows.py:56-100)
+— prescan ids → linkage → discovery → combine — with every phase landing
+in a stage table. Our stages:
+
+1. ``features``    one Arrow pass (normalize, signatures, stable ids)
+2. ``blocks``      multi-pass block keys, salted for skew
+3. ``pairs``       in-block self-join, distinct candidate pairs
+4. ``edges``       Arrow-batched pairwise scoring → match edges
+5. ``components``  large-star/small-star transitive closure
+6. ``clusters``    every record labeled with its stable cluster id
+
+``resume=True`` restarts from the last complete stage (manifest-driven) —
+kill the job after any stage and the next run does not repeat it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ccer.operators.blocking import block_keys, candidate_pairs, salt_oversized_blocks
+from ccer.operators.cluster import assign_clusters, connected_components
+from ccer.operators.features import extract_features
+from ccer.operators.scoring import ScoringConfig, match_edges, score_pairs
+from ccer.sources.catalog import StageStore
+
+STAGE_ORDER = ["features", "blocks", "pairs", "edges", "components", "clusters"]
+
+
+class PipelineConfig:
+    def __init__(
+        self,
+        num_perm: int = 128,
+        minhash_bands: int = 32,
+        shingle_k: int = 3,
+        text_cap: int = 4000,
+        block_cap: int = 500,
+        salt_bits: int = 12,
+        passes=("url", "host", "minhash", "simhash"),
+        scoring: ScoringConfig | None = None,
+    ):
+        self.num_perm = num_perm
+        self.minhash_bands = minhash_bands
+        self.shingle_k = shingle_k
+        self.text_cap = text_cap
+        self.block_cap = block_cap
+        self.salt_bits = salt_bits
+        self.passes = passes
+        self.scoring = scoring or ScoringConfig()
+
+
+def run_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    workdir: str,
+    config: PipelineConfig | None = None,
+    resume: bool = True,
+) -> DataFrame:
+    """Run (or resume) the full ER pipeline; returns the clusters table
+    (rid, id, url, warc_ts, lang, cluster_id, ...)."""
+    cfg = config or PipelineConfig()
+    store = StageStore(spark, workdir)
+    if not resume:
+        store.invalidate_from("features", STAGE_ORDER)
+
+    def stage(name: str, compute):
+        if store.exists(name):
+            return store.read(name)
+        return store.write(compute(), name)
+
+    features = stage(
+        "features",
+        lambda: extract_features(
+            pages,
+            num_perm=cfg.num_perm,
+            shingle_k=cfg.shingle_k,
+            text_cap=cfg.text_cap,
+        ),
+    )
+    blocks = stage(
+        "blocks",
+        lambda: salt_oversized_blocks(
+            block_keys(features, passes=cfg.passes, minhash_bands=cfg.minhash_bands),
+            block_cap=cfg.block_cap,
+            salt_bits=cfg.salt_bits,
+        ),
+    )
+    pairs = stage("pairs", lambda: candidate_pairs(blocks))
+    edges = stage(
+        "edges", lambda: match_edges(score_pairs(pairs, features, cfg.scoring))
+    )
+    components = stage("components", lambda: connected_components(edges))
+    clusters = stage("clusters", lambda: assign_clusters(features, components))
+    return clusters
+
+
+def cluster_pages(
+    spark: SparkSession,
+    pages: DataFrame,
+    workdir: str,
+    config: PipelineConfig | None = None,
+) -> DataFrame:
+    """Convenience: fresh full run (no resume)."""
+    return run_pipeline(spark, pages, workdir, config=config, resume=False)
+
+
+def predicted_pairs_from_clusters(clusters: DataFrame) -> DataFrame:
+    """Intra-cluster record pairs (rid_a < rid_b) — the pairwise view used
+    for F1 evaluation against labeled pairs."""
+    a = clusters.select(
+        F.col("cluster_id").alias("c"), F.col("rid").alias("rid_a")
+    )
+    b = clusters.select(
+        F.col("cluster_id").alias("c"), F.col("rid").alias("rid_b")
+    )
+    return (
+        a.join(b, "c")
+        .filter(F.col("rid_a") < F.col("rid_b"))
+        .select("rid_a", "rid_b")
+        .distinct()
+    )

@@ -1,0 +1,81 @@
+"""spark-submit entry point for the ccer ER pipeline.
+
+Usage:
+    spark-submit --py-files ccer.zip jobs/run_pipeline.py \
+        --input /path/to/pages_parquet_or_"synth:N" \
+        --workdir /path/to/checkpoints [--resume] [--cores 32]
+
+``--input synth:N`` generates the deterministic N-row synthetic corpus
+(no external data); otherwise the argument is a parquet path (or an
+Iceberg table name when the catalog has Iceberg) with the input_hint
+schema (url, warc_ts, html, text, lang).
+
+Prints a one-line JSON summary: rows, clusters, stage timings, workdir.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--input", required=True)
+    parser.add_argument("--workdir", required=True)
+    parser.add_argument("--resume", action="store_true")
+    parser.add_argument("--cores", type=int, default=None)
+    parser.add_argument("--block-cap", type=int, default=500)
+    args = parser.parse_args()
+
+    from ccer.plans.pipeline import PipelineConfig, run_pipeline
+    from ccer.session import get_spark
+    from ccer.sources.pages import synthesize_pages
+
+    spark = get_spark(app_name="ccer-pipeline", cores=args.cores)
+    t0 = time.time()
+    if args.input.startswith("synth:"):
+        pages = synthesize_pages(
+            spark, int(args.input.split(":", 1)[1]), with_labels=False
+        )
+    elif args.input.startswith("table:"):
+        pages = spark.read.table(args.input.split(":", 1)[1])
+    else:
+        pages = spark.read.parquet(args.input)
+
+    clusters = run_pipeline(
+        spark,
+        pages,
+        args.workdir,
+        config=PipelineConfig(block_cap=args.block_cap),
+        resume=args.resume,
+    )
+    n_rows = clusters.count()
+    n_clusters = clusters.select("cluster_id").distinct().count()
+    manifest_path = os.path.join(args.workdir, "_manifest.json")
+    with open(manifest_path) as fh:
+        manifest = json.load(fh)
+    timings = {
+        name: meta.get("duration_sec") for name, meta in manifest["stages"].items()
+    }
+    print(
+        json.dumps(
+            {
+                "rows": n_rows,
+                "clusters": n_clusters,
+                "elapsed_sec": round(time.time() - t0, 2),
+                "stage_sec": timings,
+                "workdir": args.workdir,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,251 @@
+"""Golden tests for the pure kernels (no Spark needed).
+
+DuckDB's built-in jaro_winkler_similarity / levenshtein serve as the
+external oracle for the similarity kernels — the same engine the driver
+uses for correctness gating, so agreement here means oracle agreement
+downstream.
+"""
+
+import duckdb
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ccer.functions.normalize import (
+    ascii_fold,
+    char_shingles,
+    extract_doi,
+    html_to_text,
+    is_latin_char_text,
+    is_likely_acronym,
+    normalize_text,
+    normalize_url,
+    url_host,
+    word_shingles,
+)
+from ccer.functions.textsim import (
+    cosine_tfidf,
+    jaccard,
+    jaro_winkler_similarity,
+    levenshtein,
+    levenshtein_ratio,
+)
+from ccer.functions.hashing import (
+    hamming64,
+    hash64,
+    minhash_band_keys,
+    minhash_signature,
+    simhash64,
+)
+from ccer.functions.names import are_names_similar, parse_name_by_style
+
+
+# ---------------------------------------------------------------- normalize
+def test_normalize_text_goldens():
+    assert normalize_text("  Hello, World!  ") == "hello world"
+    assert normalize_text("Universität zu Köln") == "universitat zu koln"
+    assert normalize_text("Łódź–Straße") == "lodzstrasse"
+    assert normalize_text("Ø. Ås") == "o as"
+    assert normalize_text(None) is None
+    assert normalize_text("") == ""
+    # idempotent
+    for s in ["Müller & Søn", "ACME (inc.)", "étude à côté"]:
+        assert normalize_text(normalize_text(s)) == normalize_text(s)
+
+
+def test_is_latin_gate():
+    assert is_latin_char_text("abc")
+    assert is_latin_char_text("中文 mixed")
+    assert not is_latin_char_text("中文")
+    assert not is_latin_char_text(None)
+
+
+def test_ascii_fold():
+    assert ascii_fold("Crème brûlée") == "Creme brulee"
+    assert ascii_fold("Þórður") == "Thordur"
+    assert ascii_fold("ß") == "ss"
+
+
+def test_extract_doi_goldens():
+    assert extract_doi("https://doi.org/10.1234/abc.def") == "10.1234/abc.def"
+    assert extract_doi("DOI:10.5555/xyz?utm=1") == "10.5555/xyz"
+    assert extract_doi('"10.1000/182"') == "10.1000/182"
+    assert extract_doi("10.1000/weird suffix") == "10.1000/weird"
+    assert extract_doi("10.99/odd-prefix.,") == "10.99/odd-prefix"
+    assert extract_doi("not a doi") is None
+    assert extract_doi(None) is None
+
+
+def test_is_likely_acronym():
+    assert is_likely_acronym("EMBL")
+    assert is_likely_acronym("E.M.B.L.")
+    assert not is_likely_acronym("Heidelberg")
+    assert not is_likely_acronym("")
+
+
+def test_url_normalization():
+    assert url_host("https://www.Example.COM:8080/a/b") == "example.com"
+    assert url_host("http://user:pw@sub.site.org/x") == "sub.site.org"
+    assert normalize_url("https://www.example.com/a/b/?utm_source=x") == "example.com/a/b"
+    assert normalize_url("http://example.com/a/b/index.html") == "example.com/a/b"
+    assert normalize_url("https://example.com/a/b#frag") == "example.com/a/b"
+    # the FIXTURES.md near-dup variants collapse
+    variants = [
+        "https://example.com/page",
+        "https://www.example.com/page/",
+        "http://example.com/page?utm_campaign=z",
+        "https://example.com/page/index.html",
+    ]
+    assert len({normalize_url(u) for u in variants}) == 1
+
+
+def test_html_to_text_deterministic():
+    html = (
+        b"<html><head><title>T</title><script>var x=1;</script>"
+        b"<style>p{}</style></head><body><h1>Head&amp;er</h1>"
+        b"<!-- c --><p>Hello <b>world</b>&nbsp;&#233;</p></body></html>"
+    )
+    out = html_to_text(html)
+    assert out == html_to_text(html)  # pure function
+    assert "var x=1" not in out
+    assert "Head&er" in out
+    assert "Hello world é" in out or "Hello world é" in out.replace("  ", " ")
+
+
+def test_shingles():
+    assert word_shingles("a b c d", k=3) == ["a b c", "b c d"]
+    assert word_shingles("", 3) == []
+    assert char_shingles("abcdef", k=5) == ["abcde", "bcdef"]
+
+
+# ----------------------------------------------------------------- textsim
+def test_jaro_winkler_matches_duckdb_goldens():
+    pairs = [
+        ("martha", "marhta"),
+        ("dixon", "dicksonx"),
+        ("abc", "abc"),
+        ("", "abc"),
+        ("smith", "smyth"),
+        ("garcia", "garcias"),
+        ("w", "w"),
+        ("jon", "john"),
+        ("universitat heidelberg", "university heidelberg"),
+    ]
+    con = duckdb.connect()
+    for a, b in pairs:
+        expected = con.execute(
+            "select jaro_winkler_similarity(?, ?)", [a, b]
+        ).fetchone()[0]
+        assert jaro_winkler_similarity(a, b) == pytest.approx(expected, abs=1e-12), (a, b)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet="abcdef ", max_size=12), st.text(alphabet="abcdef ", max_size=12))
+def test_jaro_winkler_matches_duckdb_property(a, b):
+    con = duckdb.connect()
+    expected = con.execute("select jaro_winkler_similarity(?, ?)", [a, b]).fetchone()[0]
+    assert jaro_winkler_similarity(a, b) == pytest.approx(expected, abs=1e-12)
+
+
+def test_levenshtein_matches_duckdb():
+    pairs = [
+        ("kitten", "sitting"),
+        ("", "abc"),
+        ("abc", ""),
+        ("same", "same"),
+        ("flaw", "lawn"),
+        ("intention", "execution"),
+        ("a" * 100, "a" * 50 + "b" * 50),
+    ]
+    con = duckdb.connect()
+    for a, b in pairs:
+        expected = con.execute("select levenshtein(?, ?)", [a, b]).fetchone()[0]
+        assert levenshtein(a, b) == expected, (a, b)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet="abcd", max_size=20), st.text(alphabet="abcd", max_size=20))
+def test_levenshtein_property(a, b):
+    con = duckdb.connect()
+    expected = con.execute("select levenshtein(?, ?)", [a, b]).fetchone()[0]
+    assert levenshtein(a, b) == expected
+
+
+def test_ratio_and_setsims():
+    assert levenshtein_ratio("", "") == 1.0
+    assert levenshtein_ratio("abc", "abc") == 1.0
+    assert 0 < levenshtein_ratio("abc", "abd") < 1
+    assert jaccard(["a", "b"], ["b", "c"]) == pytest.approx(1 / 3)
+    assert jaccard([], []) == 1.0
+    assert cosine_tfidf(["a", "b"], ["a", "b"]) == pytest.approx(1.0)
+    assert cosine_tfidf(["a"], ["b"]) == 0.0
+    # idf downweights the shared-but-common token
+    plain = cosine_tfidf(["a", "b"], ["a", "c"])
+    weighted = cosine_tfidf(["a", "b"], ["a", "c"], idf={"a": 0.1, "b": 5, "c": 5})
+    assert weighted < plain
+
+
+# ----------------------------------------------------------------- hashing
+def test_hashing_deterministic():
+    assert hash64("abc") == hash64("abc")
+    assert hash64("abc") != hash64("abd")
+    sig1 = minhash_signature(["x", "y", "z"], num_perm=64)
+    sig2 = minhash_signature(["x", "y", "z"], num_perm=64)
+    assert (sig1 == sig2).all()
+    keys = minhash_band_keys(sig1, bands=16)
+    assert len(keys) == 16 and len(set(keys)) == 16
+
+
+def test_minhash_similarity_tracks_jaccard():
+    base = [f"tok{i}" for i in range(100)]
+    near = base[:90] + [f"new{i}" for i in range(10)]
+    far = [f"other{i}" for i in range(100)]
+    s_base = minhash_signature(base, num_perm=128)
+    s_near = minhash_signature(near, num_perm=128)
+    s_far = minhash_signature(far, num_perm=128)
+    est_near = float((s_base == s_near).mean())
+    est_far = float((s_base == s_far).mean())
+    assert est_near > 0.65  # true J ≈ 0.818
+    assert est_far < 0.1
+
+
+def test_simhash_near_duplicates_close():
+    base = [f"w{i}" for i in range(200)]
+    near = base[:195] + ["x1", "x2", "x3", "x4", "x5"]
+    far = [f"q{i}" for i in range(200)]
+    d_near = hamming64(simhash64(base), simhash64(near))
+    d_far = hamming64(simhash64(base), simhash64(far))
+    assert d_near <= 8
+    assert d_far > 16
+
+
+# ------------------------------------------------------------------- names
+def test_parse_name_styles():
+    p = parse_name_by_style("Smith J", "last_initial")
+    assert p["last"] == "smith" and p["first"] == "j"
+    p = parse_name_by_style("Smith, John A", "last_comma_first")
+    assert p["first"] == "john" and p["last"] == "smith" and p["middle"] == "a"
+    p = parse_name_by_style("Smith John", "last_first")
+    assert p["first"] == "john" and p["last"] == "smith"
+    p = parse_name_by_style("J. R. Smith", "first_initial_last")
+    assert p["first"] == "j" and p["last"] == "smith" and p["middle"] == "r"
+    p = parse_name_by_style("Dr. John A. Smith Jr.", "auto")
+    assert p["first"] == "john" and p["last"] == "smith"
+    p = parse_name_by_style("Smith, John", "auto")
+    assert p["first"] == "john" and p["last"] == "smith"
+
+
+def test_are_names_similar_reference_rule():
+    # exact / near-exact
+    assert are_names_similar("John Smith", "John Smith")
+    assert are_names_similar("John Smith", "Jon Smith")       # JW(first) high
+    assert are_names_similar("J. Smith", "John Smith", "first_initial_last", "auto")
+    # initial mismatch but last-sim >= 0.95 ⇒ True (override branch)
+    assert are_names_similar("Mary Johnson", "Maria Johnson")
+    # gate failure
+    assert not are_names_similar("John Smith", "John Brown")
+    # single-token names: exact normalized equality only
+    assert are_names_similar("Cher", "Cher")
+    assert not are_names_similar("Cher", "Sher")
+    # different first, last barely over gate but < 0.95 ⇒ False
+    assert not are_names_similar("Alice Mendez", "Bruno Menezes")

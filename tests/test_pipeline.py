@@ -1,0 +1,78 @@
+"""End-to-end ER pipeline: synthetic labeled corpus → clusters → F1 gate,
+plus generator determinism and resume-equals-cold-run."""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from ccer.plans.evaluate import pairwise_scores
+from ccer.plans.pipeline import PipelineConfig, STAGE_ORDER, run_pipeline
+from ccer.sources.catalog import StageStore
+from ccer.sources.pages import synthesize_pages
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    pages = synthesize_pages(spark, 600, seed=42).cache()
+    pages.count()
+    yield pages
+    pages.unpersist()
+
+
+def test_generator_deterministic(spark):
+    a = synthesize_pages(spark, 120, seed=42, n_partitions=2)
+    b = synthesize_pages(spark, 120, seed=42, n_partitions=7)
+    ra = sorted((r["url"], str(r["warc_ts"]), r["text"]) for r in a.collect())
+    rb = sorted((r["url"], str(r["warc_ts"]), r["text"]) for r in b.collect())
+    assert ra == rb
+
+
+def test_generator_shape(corpus):
+    rows = corpus.limit(5).collect()
+    assert set(rows[0].asDict().keys()) == {
+        "url", "warc_ts", "html", "text", "lang", "true_cluster_id"
+    }
+    assert isinstance(rows[0]["html"], (bytes, bytearray))
+    n_clusters = corpus.select("true_cluster_id").distinct().count()
+    assert n_clusters > 100  # cluster sizes 1..10, pattern mean 3
+
+
+def test_pipeline_f1(spark, corpus, tmp_path_factory):
+    workdir = str(tmp_path_factory.mktemp("pipe"))
+    clusters = run_pipeline(spark, corpus.drop("true_cluster_id"), workdir)
+    assert clusters.count() == corpus.count()
+    labels = corpus.select("url", "warc_ts", "true_cluster_id")
+    scores = pairwise_scores(clusters, labels)
+    assert scores["f1"] >= 0.99, scores
+
+
+def test_pipeline_resume_equals_cold(spark, corpus, tmp_path_factory):
+    cold_dir = str(tmp_path_factory.mktemp("cold"))
+    pages = corpus.drop("true_cluster_id")
+    cold = run_pipeline(spark, pages, cold_dir)
+    cold_rows = sorted((r["rid"], r["cluster_id"]) for r in cold.collect())
+
+    # invalidate from 'edges' and resume: stages before are reused, later
+    # stages recomputed — result must be identical
+    store = StageStore(spark, cold_dir)
+    store.invalidate_from("edges", STAGE_ORDER)
+    resumed = run_pipeline(spark, pages, cold_dir, resume=True)
+    resumed_rows = sorted((r["rid"], r["cluster_id"]) for r in resumed.collect())
+    assert cold_rows == resumed_rows
+
+    # manifest lists all stages complete
+    assert set(store.completed_stages()) == set(STAGE_ORDER)
+    shutil.rmtree(cold_dir, ignore_errors=True)
+
+
+def test_skew_salting_bounds_block_size(spark, corpus, tmp_path_factory):
+    from ccer.operators.blocking import block_keys, salt_oversized_blocks
+    from ccer.operators.features import extract_features
+
+    feats = extract_features(corpus).cache()
+    blocks = salt_oversized_blocks(block_keys(feats), block_cap=50, salt_bits=12)
+    max_block = blocks.groupBy("block_key").count().agg(F.max("count")).collect()[0][0]
+    # mega-host block (~20% of rows) must have been subdivided
+    assert max_block <= 120  # 600 docs * 20% = 120 hard ceiling, salted below
+    feats.unpersist()
