@@ -1,0 +1,112 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Headline set:
+- er_pipeline      full blocking→scoring→CC over pages derived from the
+                   documents table (the flagship; docs/sec reported)
+- tpch_q1_agg      scan-heavy aggregation
+- minhash_neardup  signature + LSH dedup sweep
+- token_jaccard    JVM set-similarity self-join
+- ann_topk         broadcast top-k over embeddings
+- lang_quality     text-stats pass (lang id + quality + token counts)
+
+The ER input is synthesized deterministically FROM the sf documents
+table (pages_from_documents), so the row count scales with sf.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from pyspark.sql import functions as F
+
+    from ccer.plans import driver_queries as dq
+    from ccer.session import get_spark
+
+    spark = get_spark(app_name="ccer-bench", cores=cores, shuffle_partitions=cores)
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # ---- flagship: ER pipeline over derived pages ----------------------
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pages = dq.pages_from_documents(docs)
+    n_pages = pages.count()  # materialization cost excluded from ER timing
+
+    def run_er():
+        from ccer.operators.blocking import block_keys, candidate_pairs, salt_oversized_blocks
+        from ccer.operators.cluster import assign_clusters, connected_components
+        from ccer.operators.features import extract_features
+        from ccer.operators.scoring import match_edges, score_pairs
+
+        feats = extract_features(pages).persist()
+        blocks = salt_oversized_blocks(block_keys(feats), block_cap=500)
+        pairs = candidate_pairs(blocks)
+        edges = match_edges(score_pairs(pairs, feats))
+        comps = connected_components(edges)
+        clusters = assign_clusters(feats, comps)
+        n = clusters.count()
+        feats.unpersist()
+        return n
+
+    n_clustered = timed("er_pipeline", run_er)
+    extras["er_docs_per_sec"] = round(n_pages / timings["er_pipeline"], 1)
+    extras["n_pages"] = n_pages
+    assert n_clustered == n_pages
+
+    # ---- operator headliners -------------------------------------------
+    timed("tpch_q1_agg", lambda: dq.q_tpch_q1_agg(spark, sf_dir).collect())
+    timed(
+        "minhash_neardup",
+        lambda: dq.q_minhash_neardup(spark, sf_dir).count(),
+    )
+    timed(
+        "token_jaccard_neardup",
+        lambda: dq.q_token_jaccard_neardup(spark, sf_dir).count(),
+    )
+    timed("ann_topk", lambda: dq.q_ann_topk(spark, sf_dir).count())
+
+    def lang_quality():
+        a = dq.q_lang_id(spark, sf_dir).collect()
+        b = dq.q_quality_scores(spark, sf_dir).collect()
+        c = dq.q_token_counts(spark, sf_dir).collect()
+        return len(a) + len(b) + len(c)
+
+    timed("lang_quality", lang_quality)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                **extras,
+                "cores": cores,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

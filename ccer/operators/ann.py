@@ -1,0 +1,172 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_col``      JVM-side cosine of two array columns (zip_with +
+                      aggregate — whole-stage codegen, no Python)
+- ``brute_force_topk``  exact top-k neighbors per query (broadcast the
+                      query side, window rank) — the correctness baseline
+- ``embedding_neardup_pairs``  all pairs above a cosine threshold within
+                      coarse LSH buckets
+- ``lsh_topk``        random-hyperplane-bucketed approximate top-k — the
+                      scale path: candidate set shrinks from N to the
+                      bucket population before any cosine is computed
+
+At 10^12 rows the brute-force path is a deliberate crossJoin(broadcast)
+— linear in corpus size per query batch; the LSH path buckets the corpus
+once (one Arrow pass for signatures) and turns top-k into a bucket join.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def cosine_col(u, v):
+    """Cosine similarity of two array<float/double> columns, JVM-side."""
+    u = F.col(u) if isinstance(u, str) else u
+    v = F.col(v) if isinstance(v, str) else v
+    dot = F.aggregate(
+        F.zip_with(u, v, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nu = F.sqrt(F.aggregate(u, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")))
+    nv = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")))
+    return dot / (nu * nv)
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector.
+
+    queries are broadcast (small side); rank window breaks ties on
+    neighbor id so output is deterministic.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cosine_col("qv", "cv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
+HYPERPLANE_SCHEMA = "id long, bucket long"
+
+
+def _hyperplane_buckets(
+    df: DataFrame, id_col: str, vec_col: str, n_planes: int, seed: int
+) -> DataFrame:
+    """Random-hyperplane LSH bucket per vector (one Arrow pass; the plane
+    matrix is rebuilt deterministically per task from the seed)."""
+
+    def gen(iterator):
+        planes = None
+        for pdf in iterator:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy())
+            if planes is None:
+                rng = np.random.RandomState(seed)
+                planes = rng.standard_normal((mat.shape[1], n_planes))
+            bits = (mat @ planes) > 0
+            bucket = bits.dot(1 << np.arange(n_planes)).astype(np.int64)
+            yield pd.DataFrame({"id": pdf[id_col].astype("int64"), "bucket": bucket})
+
+    return df.select(id_col, vec_col).mapInPandas(gen, schema=HYPERPLANE_SCHEMA)
+
+
+def embedding_neardup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 12,
+    seed: int = 7,
+    n_rotations: int = 3,
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold, found inside LSH buckets.
+
+    Multiple independent bucketings (rotations) push recall up: near
+    vectors land in the same bucket in ≥1 of them with high probability.
+    """
+    parts = []
+    for r in range(n_rotations):
+        parts.append(_hyperplane_buckets(vectors, id_col, vec_col, n_planes, seed + r)
+                     .withColumn("bucket", F.concat_ws(":", F.lit(str(r)), "bucket")))
+    buckets = parts[0]
+    for p in parts[1:]:
+        buckets = buckets.unionByName(p)
+    v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    withvec = buckets.join(v, "id")
+    a = withvec.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), "bucket")
+    b = withvec.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "vec_a", "vec_b")
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("cosine", cosine_col("vec_a", "vec_b"))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 10,
+    seed: int = 7,
+    n_rotations: int = 4,
+) -> DataFrame:
+    """Approximate top-k: only candidates sharing ≥1 LSH bucket with the
+    query are scored. Recall < 1.0 by construction; n_rotations trades
+    compute for recall."""
+    def bucketize(df):
+        parts = []
+        for r in range(n_rotations):
+            parts.append(
+                _hyperplane_buckets(df, id_col, vec_col, n_planes, seed + r)
+                .withColumn("bucket", F.concat_ws(":", F.lit(str(r)), "bucket"))
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    cb = bucketize(corpus).withColumnRenamed("id", "neighbor_id")
+    qb = bucketize(queries).withColumnRenamed("id", "query_id")
+    cand = (
+        cb.join(qb, "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .dropDuplicates()
+    )
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = cand.join(F.broadcast(qv), "query_id").join(cv, "neighbor_id").withColumn(
+        "cosine", cosine_col("qv", "cv")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )

@@ -1,0 +1,961 @@
+"""The driver-contract query inventory: every SURVEY.md §2 operator class
+expressed over the /root/testdata tables, each paired with ANSI SQL that
+DuckDB executes as the oracle (CORRECTNESS_r{N}.json gate).
+
+Conventions that make the value-hash comparison succeed:
+- every computed column is aliased identically on both sides;
+- doubles are rounded (4-6 dp) AFTER all ordering decisions;
+- deterministic tie-breaks everywhere a window or top-k appears;
+- set-semantics ops (array_intersect / list_intersect) are compared by
+  SIZE only, never element order.
+
+Queries whose semantics are not SQL-expressible (MinHash/SimHash LSH,
+LSH-bucketed ANN, the full ER pipeline) have no oracle entry — the
+driver records the weaker rows-only check, and tests/test_queries.py
+covers them with property assertions instead.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F, types as T
+
+from ccer.operators.ann import brute_force_topk, cosine_col, embedding_neardup_pairs, lsh_topk
+from ccer.operators.dedup import (
+    exact_dedup_groups,
+    minhash_neardup_pairs,
+    simhash_neardup_pairs,
+    token_jaccard_pairs,
+)
+from ccer.operators.linkage import names_similar_udf, normalize_text_udf
+from ccer.operators.textstats import (
+    STOPWORDS,
+    detect_language,
+    fingerprint,
+    quality_features,
+    token_counts,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+@F.pandas_udf(T.DoubleType())
+def _jw_udf(x: pd.Series, y: pd.Series) -> pd.Series:
+    from ccer.functions.textsim import jaro_winkler_similarity
+
+    return pd.Series([jaro_winkler_similarity(p or "", q or "") for p, q in zip(x, y)])
+
+
+@F.pandas_udf(T.IntegerType())
+def _lev_udf(x: pd.Series, y: pd.Series) -> pd.Series:
+    from ccer.functions.textsim import levenshtein
+
+    return pd.Series([levenshtein(p or "", q or "") for p, q in zip(x, y)])
+
+
+# =====================================================================
+# relational / reference-parity operators (SURVEY §2.2-2.7)
+# =====================================================================
+
+def q_tpch_q1_agg(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_filtered_scan_pushdown(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter((F.col("l_shipdate") < F.lit("1994-01-01")) & (F.col("l_discount") > 0.08))
+        .select("l_orderkey", "l_linenumber", F.round("l_extendedprice", 2).alias("price"))
+    )
+
+
+SQL_FILTERED_SCAN = """
+SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS price
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '1994-01-01 00:00:00' AND l_discount > 0.08
+"""
+
+
+def q_broadcast_join_agg(spark, sf_dir):
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    supplier = _t(spark, sf_dir, "supplier")
+    return (
+        supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
+SQL_BROADCAST_JOIN = """
+SELECT r_name, count(*) AS n_suppliers, round(sum(s_acctbal), 2) AS total_bal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q_or_key_join_decomposed(spark, sf_dir):
+    """The reference's OR-condition join (repository.py:120-130) as a
+    union of two equi-joins + DISTINCT."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    customer = _t(spark, sf_dir, "customer")
+    j1 = orders.join(customer, orders.o_custkey == customer.c_custkey)
+    j2 = orders.join(customer, orders.o_orderkey == customer.c_custkey)
+    cols = [
+        F.col("o_orderkey"),
+        F.col("c_custkey"),
+        F.col("c_mktsegment"),
+    ]
+    return j1.select(*cols).unionByName(j2.select(*cols)).dropDuplicates()
+
+
+SQL_OR_KEY_JOIN = """
+SELECT DISTINCT o_orderkey, c_custkey, c_mktsegment
+FROM orders JOIN customer
+  ON (o_custkey = c_custkey OR o_orderkey = c_custkey)
+WHERE o_orderkey < 500
+"""
+
+
+def q_anti_join_exclusion(spark, sf_dir):
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers_without_orders"))
+    )
+
+
+SQL_ANTI_JOIN = """
+SELECT c_mktsegment, count(*) AS n_customers_without_orders
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+"""
+
+
+def q_semi_join_exists(spark, sf_dir):
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_big_spenders"))
+    )
+
+
+SQL_SEMI_JOIN = """
+SELECT c_mktsegment, count(*) AS n_big_spenders
+FROM customer
+WHERE EXISTS (
+  SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 100000
+)
+GROUP BY c_mktsegment
+"""
+
+
+def q_union_dedup(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click").select("user_id")
+    b = ev.filter(F.col("event_type") == "error").select("user_id")
+    return a.unionByName(b).dropDuplicates()
+
+
+SQL_UNION_DEDUP = """
+SELECT user_id FROM events WHERE event_type = 'click'
+UNION
+SELECT user_id FROM events WHERE event_type = 'error'
+"""
+
+
+def q_union_all_tagged_window_dedup(spark, sf_dir):
+    """The reference combine step (repository.py:459-509): two tagged
+    channels UNION ALL + ROW_NUMBER priority dedup."""
+    ev = _t(spark, sf_dir, "events")
+    ch1 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .dropDuplicates()
+        .withColumn("match_type", F.lit("affiliation_exact"))
+    )
+    ch2 = (
+        ev.filter(F.col("value") > 90)
+        .select("user_id")
+        .dropDuplicates()
+        .withColumn("match_type", F.lit("entity_extracted"))
+    )
+    unioned = ch1.unionByName(ch2)
+    priority = F.when(F.col("match_type") == "affiliation_exact", 1).otherwise(2)
+    w = Window.partitionBy("user_id").orderBy(priority)
+    return (
+        unioned.withColumn("priority", F.row_number().over(w))
+        .filter(F.col("priority") == 1)
+        .select("user_id", "match_type")
+    )
+
+
+SQL_UNION_ALL_WINDOW = """
+WITH ch AS (
+  SELECT DISTINCT user_id, 'affiliation_exact' AS match_type
+  FROM events WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT DISTINCT user_id, 'entity_extracted' AS match_type
+  FROM events WHERE value > 90
+), prioritized AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY user_id
+    ORDER BY CASE match_type WHEN 'affiliation_exact' THEN 1 ELSE 2 END
+  ) AS priority
+  FROM ch
+)
+SELECT user_id, match_type FROM prioritized WHERE priority = 1
+"""
+
+
+def q_first_per_group(spark, sf_dir):
+    supplier = _t(spark, sf_dir, "supplier")
+    return supplier.groupBy("s_nationkey").agg(
+        F.min("s_name").alias("representative_supplier"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+SQL_FIRST_PER_GROUP = """
+SELECT s_nationkey, min(s_name) AS representative_supplier, count(*) AS n
+FROM supplier GROUP BY s_nationkey
+"""
+
+
+def q_count_distinct_coalesce(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct(
+            F.coalesce(F.col("user_id").cast("string"), F.col("props"))
+        ).alias("work_count")
+    )
+
+
+SQL_COUNT_DISTINCT_COALESCE = """
+SELECT event_type,
+       count(DISTINCT coalesce(CAST(user_id AS VARCHAR), props)) AS work_count
+FROM events GROUP BY event_type
+"""
+
+
+def q_filtered_count(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("discounted"),
+        F.count(F.when(F.col("l_tax") > 0.04, 1)).alias("taxed"),
+        F.count(F.lit(1)).alias("total"),
+    )
+
+
+SQL_FILTERED_COUNT = """
+SELECT l_returnflag,
+       count(*) FILTER (WHERE l_discount > 0.05) AS discounted,
+       count(*) FILTER (WHERE l_tax > 0.04) AS taxed,
+       count(*) AS total
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_multi_distinct_profile(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+        F.count(F.when(F.col("o_totalprice").isNull(), 1)).alias("null_prices"),
+    )
+
+
+SQL_MULTI_DISTINCT = """
+SELECT count(*) AS n_rows,
+       count(DISTINCT o_custkey) AS n_customers,
+       count(DISTINCT o_orderstatus) AS n_statuses,
+       count(*) FILTER (WHERE o_totalprice IS NULL) AS null_prices
+FROM orders
+"""
+
+
+def q_topk_per_group(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "o_orderpriority",
+            "rank",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("total"),
+        )
+    )
+
+
+SQL_TOPK_PER_GROUP = """
+SELECT o_orderpriority, rank, o_orderkey, round(o_totalprice, 2) AS total
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey
+  ) AS rank
+  FROM orders
+) WHERE rank <= 3
+"""
+
+
+def q_ordered_export(spark, sf_dir):
+    """Deterministic ordered export (repository.py:182-187): the order is
+    captured as an explicit rank column so the order-insensitive hash
+    still verifies it."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.orderBy("lang", "source", "doc_id")
+    return (
+        docs.select("doc_id", "lang", "source")
+        .withColumn("export_rank", F.row_number().over(w))
+        .filter(F.col("export_rank") <= 100)
+    )
+
+
+SQL_ORDERED_EXPORT = """
+SELECT doc_id, lang, source,
+       ROW_NUMBER() OVER (ORDER BY lang, source, doc_id) AS export_rank
+FROM documents
+QUALIFY export_rank <= 100
+"""
+
+
+def q_explode_split_distinct(spark, sf_dir):
+    """Author multi-split analog (repository.py:104-110): UNNEST +
+    trim + DISTINCT over whitespace-split tokens."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return (
+        docs.select(
+            "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("token")
+        )
+        .filter(F.trim("token") != "")
+        .select(F.trim("token").alias("token"))
+        .dropDuplicates()
+    )
+
+
+SQL_EXPLODE_SPLIT = """
+SELECT DISTINCT trim(token) AS token
+FROM documents, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t(token)
+WHERE doc_id < 300 AND trim(token) != ''
+"""
+
+
+def q_null_normalize_try_cast(spark, sf_dir):
+    """Null normalization + TRY_CAST (build_db.py:256-263)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.regexp_extract("props", r'"k":\s*(\d+)', 1)
+    return ev.select(
+        "event_id",
+        F.when((k == "") | k.isNull(), None)
+        .otherwise(F.expr(r"try_cast(regexp_extract(props, '\"k\":\\s*(\\d+)', 1) as int)"))
+        .alias("k_value"),
+        F.nullif(F.col("event_type"), F.lit("click")).alias("non_click_type"),
+    ).filter(F.col("event_id") < 1000)
+
+
+SQL_NULL_TRY_CAST = """
+SELECT event_id,
+       TRY_CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS INTEGER) AS k_value,
+       nullif(event_type, 'click') AS non_click_type
+FROM events WHERE event_id < 1000
+"""
+
+
+def q_derived_key(spark, sf_dir):
+    customer = _t(spark, sf_dir, "customer")
+    return (
+        customer.withColumn(
+            "norm_key", F.lower(F.trim(F.coalesce("c_name", F.lit(""))))
+        )
+        .groupBy("c_mktsegment")
+        .agg(F.countDistinct("norm_key").alias("n_keys"))
+    )
+
+
+SQL_DERIVED_KEY = """
+SELECT c_mktsegment, count(DISTINCT lower(trim(coalesce(c_name, '')))) AS n_keys
+FROM customer GROUP BY c_mktsegment
+"""
+
+
+def q_validity_filter(spark, sf_dir):
+    """Validity predicate (build_db.py:269-275)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.filter(
+            F.col("text").isNotNull()
+            & (F.col("text") != "")
+            & (F.col("text") != "null")
+            & (F.length("source") < 1000)
+            & F.col("source").isNotNull()
+        )
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_valid"))
+    )
+
+
+SQL_VALIDITY_FILTER = """
+SELECT lang, count(*) AS n_valid
+FROM documents
+WHERE text IS NOT NULL AND text != '' AND text != 'null'
+  AND length(source) < 1000 AND source IS NOT NULL
+GROUP BY lang
+"""
+
+
+def q_substring_containment_join(spark, sf_dir):
+    """Theta containment join with a broadcast literal side
+    (repository.py:363-364)."""
+    part = _t(spark, sf_dir, "part")
+    kws = spark.createDataFrame([("ECO",), ("STAND",), ("PROMO",)], ["kw"])
+    return (
+        part.join(F.broadcast(kws), F.upper(part.p_type).contains(kws.kw))
+        .groupBy("kw")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+
+
+SQL_SUBSTRING_JOIN = """
+SELECT kw, count(*) AS n_parts
+FROM part
+JOIN (VALUES ('ECO'), ('STAND'), ('PROMO')) AS kws(kw)
+  ON upper(p_type) LIKE '%' || kw || '%'
+GROUP BY kw
+"""
+
+
+def q_exists_array_filter(spark, sf_dir):
+    """EXISTS-over-org-names as a broadcast array predicate
+    (repository.py:365-368 → column algebra)."""
+    part = _t(spark, sf_dir, "part")
+    kws = F.array(F.lit("small"), F.lit("large"), F.lit("economy"))
+    return (
+        part.filter(F.exists(kws, lambda k: F.lower(F.col("p_type")).contains(k)))
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+SQL_EXISTS_ARRAY = """
+SELECT p_brand, count(*) AS n
+FROM part
+WHERE lower(p_type) LIKE '%small%'
+   OR lower(p_type) LIKE '%large%'
+   OR lower(p_type) LIKE '%economy%'
+GROUP BY p_brand
+"""
+
+
+# =====================================================================
+# fuzzy-similarity operators (SURVEY §2.8-2.9) — DuckDB builtins oracle
+# =====================================================================
+
+def q_jw_similarity_pairs(spark, sf_dir):
+    """Blocked fuzzy self-join: suppliers in the same nation whose names
+    are Jaro-Winkler-similar — kernel UDF vs DuckDB builtin."""
+    sup = _t(spark, sf_dir, "supplier").filter(F.col("s_suppkey") < 150)
+    a = sup.select(
+        F.col("s_suppkey").alias("id_a"),
+        F.col("s_name").alias("name_a"),
+        F.col("s_nationkey").alias("nk"),
+    )
+    b = sup.select(
+        F.col("s_suppkey").alias("id_b"),
+        F.col("s_name").alias("name_b"),
+        F.col("s_nationkey").alias("nk"),
+    )
+    return (
+        a.join(b, "nk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("jw", _jw_udf("name_a", "name_b"))
+        .filter(F.col("jw") >= 0.9)
+        .select("id_a", "id_b", F.round("jw", 6).alias("jw"))
+    )
+
+
+SQL_JW_PAIRS = """
+SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+       round(jaro_winkler_similarity(a.s_name, b.s_name), 6) AS jw
+FROM supplier a JOIN supplier b
+  ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+WHERE a.s_suppkey < 150 AND b.s_suppkey < 150
+  AND jaro_winkler_similarity(a.s_name, b.s_name) >= 0.9
+"""
+
+
+def q_levenshtein_pairs(spark, sf_dir):
+    """In-block Levenshtein pairs — numpy-DP kernel vs DuckDB builtin."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 200)
+    a = part.select(
+        F.col("p_partkey").alias("id_a"), F.col("p_name").alias("n_a"), "p_brand"
+    )
+    b = part.select(
+        F.col("p_partkey").alias("id_b"), F.col("p_name").alias("n_b"), "p_brand"
+    )
+    return (
+        a.join(b, "p_brand")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("dist", _lev_udf("n_a", "n_b"))
+        .filter(F.col("dist") <= 12)
+        .select("id_a", "id_b", "dist")
+    )
+
+
+SQL_LEV_PAIRS = """
+SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+       levenshtein(a.p_name, b.p_name) AS dist
+FROM part a JOIN part b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+WHERE a.p_partkey < 200 AND b.p_partkey < 200
+  AND levenshtein(a.p_name, b.p_name) <= 12
+"""
+
+
+def q_normalize_text_kernel(spark, sf_dir):
+    """The canonical normalize kernel vs its exact SQL equivalent (valid
+    on ASCII input — documents text is ASCII by construction)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    return docs.select(
+        "doc_id",
+        normalize_text_udf(F.substring("text", 1, 80)).alias("norm_prefix"),
+    )
+
+
+SQL_NORMALIZE_KERNEL = r"""
+SELECT doc_id,
+       trim(regexp_replace(lower(substring(text, 1, 80)), '[^\w\s]', '', 'g')) AS norm_prefix
+FROM documents WHERE doc_id < 500
+"""
+
+
+# =====================================================================
+# training-data / curation operators
+# =====================================================================
+
+def q_exact_dedup_groups(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup_groups(docs, "text", "doc_id")
+
+
+SQL_EXACT_DEDUP = """
+SELECT text AS text_key, min(doc_id) AS keep_id, count(*) AS n_dups
+FROM documents GROUP BY text HAVING count(*) > 1
+"""
+
+
+def q_token_jaccard_neardup(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 800)
+    return token_jaccard_pairs(docs, "source", "text", "doc_id", threshold=0.32)
+
+
+SQL_TOKEN_JACCARD = r"""
+WITH toks AS (
+  SELECT doc_id AS id, source AS blk,
+         list_distinct(regexp_split_to_array(lower(text), '\s+')) AS toks
+  FROM documents WHERE doc_id < 800
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
+FROM toks a JOIN toks b ON a.blk = b.blk AND a.id < b.id
+WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.32
+"""
+
+
+def q_minhash_neardup(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    return minhash_neardup_pairs(docs, "text", "doc_id", est_threshold=0.5)
+
+
+def q_simhash_neardup(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    return simhash_neardup_pairs(docs, "text", "doc_id", max_hamming=8)
+
+
+def q_embedding_neardup_exact(spark, sf_dir):
+    """All in-label pairs above a cosine threshold — JVM zip_with dot
+    product vs DuckDB list_cosine_similarity."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1500)
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "label"
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), "label"
+    )
+    return (
+        a.join(b, "label")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_col("va", "vb"))
+        .filter(F.col("cosine") >= 0.3)
+        .select("id_a", "id_b", F.round("cosine", 5).alias("cosine"))
+    )
+
+
+SQL_EMBEDDING_NEARDUP = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 5) AS cosine
+FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE a.vec_id < 1500 AND b.vec_id < 1500
+  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.3
+"""
+
+
+def q_embedding_neardup_lsh(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(emb, threshold=0.3, n_planes=6, n_rotations=4)
+
+
+def q_ann_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") < 1500)
+    queries = emb.filter(F.col("vec_id") < 15)
+    return brute_force_topk(corpus, queries, k=5)
+
+
+SQL_ANN_TOPK = """
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                CAST(c.embedding AS DOUBLE[])) AS raw_cos
+  FROM embeddings q JOIN embeddings c ON q.vec_id < 15 AND c.vec_id < 1500
+   AND q.vec_id != c.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, raw_cos,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY raw_cos DESC, neighbor_id
+         ) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(raw_cos, 6) AS cosine, rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+def q_ann_topk_lsh(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") < 1500)
+    queries = emb.filter(F.col("vec_id") < 15)
+    return lsh_topk(corpus, queries, k=5)
+
+
+def q_lang_id(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return detect_language(docs).groupBy("lang_pred").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+def _sql_lang_score(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return (
+        "len(list_intersect(list_distinct(regexp_split_to_array(lower(text), '\\s+')),"
+        f" [{words}]))"
+    )
+
+
+SQL_LANG_ID = f"""
+WITH scored AS (
+  SELECT {_sql_lang_score('en')} AS s_en,
+         {_sql_lang_score('de')} AS s_de,
+         {_sql_lang_score('fr')} AS s_fr,
+         regexp_matches(text, '[一-鿿]') AS has_cjk
+  FROM documents
+), pred AS (
+  SELECT CASE
+           WHEN has_cjk THEN 'zh'
+           WHEN greatest(s_en, s_de, s_fr) <= 0 THEN 'unknown'
+           WHEN s_en = greatest(s_en, s_de, s_fr) THEN 'en'
+           WHEN s_de = greatest(s_en, s_de, s_fr) THEN 'de'
+           ELSE 'fr'
+         END AS lang_pred
+  FROM scored
+)
+SELECT lang_pred, count(*) AS n_docs FROM pred GROUP BY lang_pred
+"""
+
+
+def q_quality_scores(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return quality_features(docs).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("quality_score"), 4).alias("avg_quality"),
+        F.round(F.avg("punct_ratio"), 4).alias("avg_punct"),
+    )
+
+
+_STOP_EN = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+
+SQL_QUALITY = f"""
+WITH feat AS (
+  SELECT lang,
+         length(text) AS n_chars,
+         len(regexp_split_to_array(lower(text), '\\s+')) AS n_tokens,
+         length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS punct,
+         len(list_intersect(list_distinct(regexp_split_to_array(lower(text), '\\s+')),
+             [{_STOP_EN}])) AS stop_hits,
+         (length(text) - len(regexp_split_to_array(lower(text), '\\s+')) + 1.0)
+           / len(regexp_split_to_array(lower(text), '\\s+')) AS mean_tok
+  FROM documents
+), scored AS (
+  SELECT lang, CAST(punct AS DOUBLE) / n_chars AS punct_ratio,
+         CASE
+           WHEN n_tokens < 5 THEN 0.0
+           WHEN mean_tok < 2 THEN 0.2
+           WHEN mean_tok > 14 THEN 0.2
+           ELSE least(1.0, 0.4 + least(n_tokens / 400.0, 0.3)
+                            + least(stop_hits / 10.0, 0.3))
+         END AS quality_score
+  FROM feat
+)
+SELECT lang, count(*) AS n, round(avg(quality_score), 4) AS avg_quality,
+       round(avg(punct_ratio), 4) AS avg_punct
+FROM scored GROUP BY lang
+"""
+
+
+def q_token_counts(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return token_counts(docs).groupBy("source").agg(
+        F.sum("ws_tokens").alias("total_ws_tokens"),
+        F.sum("subword_est").alias("total_subwords"),
+    )
+
+
+SQL_TOKEN_COUNTS = r"""
+SELECT source,
+       sum(len(regexp_split_to_array(text, '\s+'))) AS total_ws_tokens,
+       sum(len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]+|[^A-Za-z0-9\s]')))
+         AS total_subwords
+FROM documents GROUP BY source
+"""
+
+
+def q_fingerprint(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return fingerprint(docs).select("doc_id", "fp_raw", "fp_canonical")
+
+
+SQL_FINGERPRINT = r"""
+SELECT doc_id, md5(text) AS fp_raw,
+       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_canonical
+FROM documents WHERE doc_id < 300
+"""
+
+
+def q_binary_meta(spark, sf_dir):
+    """Binary-column metadata (multimodal plumbing) over text-as-bytes."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    payload = F.col("text").cast("binary")
+    return docs.select(
+        "doc_id",
+        F.length(payload).alias("n_bytes"),
+        F.md5(payload).alias("md5"),
+        F.sha2(payload, 256).alias("sha256"),
+    )
+
+
+SQL_BINARY_META = """
+SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+       md5(text) AS md5, sha256(text) AS sha256
+FROM documents WHERE doc_id < 300
+"""
+
+
+# =====================================================================
+# ER pipeline over pages derived from documents (rows-only checks)
+# =====================================================================
+
+def pages_from_documents(docs: DataFrame, variant_every: int = 3) -> DataFrame:
+    """Deterministically lift the documents table into the input_hint page
+    shape, planting one near-dup variant per ``variant_every`` docs."""
+    base = docs.select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.org/doc/"), F.col("doc_id")
+        ).alias("url"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+    variants = docs.filter(F.col("doc_id") % variant_every == 0).select(
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example.org/doc/"),
+            F.col("doc_id"),
+            F.lit("?utm_source=mirror"),
+        ).alias("url"),
+        F.to_timestamp(F.lit("2024-02-01 00:00:00")).alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        # variant text: drop the first two words (a near-duplicate)
+        F.regexp_replace(F.col("text"), r"^\S+\s+\S+\s+", "").alias("text"),
+        F.col("lang"),
+    )
+    return base.unionByName(variants)
+
+
+def q_er_cluster_documents(spark, sf_dir):
+    """Flagship: full blocking→scoring→CC over pages derived from the
+    documents table (no checkpointing — pure operator composition)."""
+    from ccer.operators.blocking import block_keys, candidate_pairs, salt_oversized_blocks
+    from ccer.operators.cluster import assign_clusters, connected_components
+    from ccer.operators.features import extract_features
+    from ccer.operators.scoring import match_edges, score_pairs
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 1500)
+    pages = pages_from_documents(docs)
+    feats = extract_features(pages)
+    blocks = salt_oversized_blocks(block_keys(feats), block_cap=500)
+    pairs = candidate_pairs(blocks)
+    edges = match_edges(score_pairs(pairs, feats))
+    comps = connected_components(edges)
+    clusters = assign_clusters(feats, comps)
+    return (
+        clusters.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_members"), F.min("url").alias("canonical_url"))
+        .filter(F.col("n_members") > 1)
+    )
+
+
+def q_blocking_keys(spark, sf_dir):
+    from ccer.operators.blocking import block_keys
+    from ccer.operators.features import extract_features
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    feats = extract_features(pages_from_documents(docs))
+    return block_keys(feats).groupBy("block_key").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    ).filter(F.col("n_rows") > 1)
+
+
+# =====================================================================
+# registry
+# =====================================================================
+
+QUERIES = {
+    # relational / reference parity
+    "tpch_q1_agg": q_tpch_q1_agg,
+    "filtered_scan_pushdown": q_filtered_scan_pushdown,
+    "broadcast_join_agg": q_broadcast_join_agg,
+    "or_key_join_decomposed": q_or_key_join_decomposed,
+    "anti_join_exclusion": q_anti_join_exclusion,
+    "semi_join_exists": q_semi_join_exists,
+    "union_dedup": q_union_dedup,
+    "union_all_tagged_window_dedup": q_union_all_tagged_window_dedup,
+    "first_per_group": q_first_per_group,
+    "count_distinct_coalesce": q_count_distinct_coalesce,
+    "filtered_count": q_filtered_count,
+    "multi_distinct_profile": q_multi_distinct_profile,
+    "topk_per_group": q_topk_per_group,
+    "ordered_export": q_ordered_export,
+    "explode_split_distinct": q_explode_split_distinct,
+    "null_normalize_try_cast": q_null_normalize_try_cast,
+    "derived_key": q_derived_key,
+    "validity_filter": q_validity_filter,
+    "substring_containment_join": q_substring_containment_join,
+    "exists_array_filter": q_exists_array_filter,
+    # fuzzy kernels
+    "jw_similarity_pairs": q_jw_similarity_pairs,
+    "levenshtein_pairs": q_levenshtein_pairs,
+    "normalize_text_kernel": q_normalize_text_kernel,
+    # curation / training-data ops
+    "exact_dedup_groups": q_exact_dedup_groups,
+    "token_jaccard_neardup": q_token_jaccard_neardup,
+    "minhash_neardup": q_minhash_neardup,
+    "simhash_neardup": q_simhash_neardup,
+    "embedding_neardup_exact": q_embedding_neardup_exact,
+    "embedding_neardup_lsh": q_embedding_neardup_lsh,
+    "ann_topk": q_ann_topk,
+    "ann_topk_lsh": q_ann_topk_lsh,
+    "lang_id": q_lang_id,
+    "quality_scores": q_quality_scores,
+    "token_counts": q_token_counts,
+    "fingerprint": q_fingerprint,
+    "binary_meta": q_binary_meta,
+    # ER pipeline (rows-only)
+    "er_cluster_documents": q_er_cluster_documents,
+    "blocking_keys": q_blocking_keys,
+}
+
+ORACLES = {
+    "tpch_q1_agg": SQL_TPCH_Q1,
+    "filtered_scan_pushdown": SQL_FILTERED_SCAN,
+    "broadcast_join_agg": SQL_BROADCAST_JOIN,
+    "or_key_join_decomposed": SQL_OR_KEY_JOIN,
+    "anti_join_exclusion": SQL_ANTI_JOIN,
+    "semi_join_exists": SQL_SEMI_JOIN,
+    "union_dedup": SQL_UNION_DEDUP,
+    "union_all_tagged_window_dedup": SQL_UNION_ALL_WINDOW,
+    "first_per_group": SQL_FIRST_PER_GROUP,
+    "count_distinct_coalesce": SQL_COUNT_DISTINCT_COALESCE,
+    "filtered_count": SQL_FILTERED_COUNT,
+    "multi_distinct_profile": SQL_MULTI_DISTINCT,
+    "topk_per_group": SQL_TOPK_PER_GROUP,
+    "ordered_export": SQL_ORDERED_EXPORT,
+    "explode_split_distinct": SQL_EXPLODE_SPLIT,
+    "null_normalize_try_cast": SQL_NULL_TRY_CAST,
+    "derived_key": SQL_DERIVED_KEY,
+    "validity_filter": SQL_VALIDITY_FILTER,
+    "substring_containment_join": SQL_SUBSTRING_JOIN,
+    "exists_array_filter": SQL_EXISTS_ARRAY,
+    "jw_similarity_pairs": SQL_JW_PAIRS,
+    "levenshtein_pairs": SQL_LEV_PAIRS,
+    "normalize_text_kernel": SQL_NORMALIZE_KERNEL,
+    "exact_dedup_groups": SQL_EXACT_DEDUP,
+    "token_jaccard_neardup": SQL_TOKEN_JACCARD,
+    "embedding_neardup_exact": SQL_EMBEDDING_NEARDUP,
+    "ann_topk": SQL_ANN_TOPK,
+    "lang_id": SQL_LANG_ID,
+    "quality_scores": SQL_QUALITY,
+    "token_counts": SQL_TOKEN_COUNTS,
+    "fingerprint": SQL_FINGERPRINT,
+    "binary_meta": SQL_BINARY_META,
+    # no oracle (not SQL-expressible): minhash_neardup, simhash_neardup,
+    # embedding_neardup_lsh, ann_topk_lsh, er_cluster_documents,
+    # blocking_keys
+}
