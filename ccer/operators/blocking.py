@@ -106,31 +106,56 @@ def block_keys(
 
 
 def salt_oversized_blocks(
-    blocks: DataFrame, block_cap: int = 500, salt_bits: int = 12
+    blocks: DataFrame,
+    block_cap: int = 500,
+    weak_pass_caps: dict | None = None,
+    salt_bits_max: int = 12,
 ) -> DataFrame:
-    """Subdivide blocks larger than ``block_cap`` by SimHash-prefix salt.
+    """Subdivide blocks larger than their cap by a SimHash-prefix salt
+    whose width adapts to the block size.
 
-    One aggregation (block-size profile) + one broadcast-friendly join of
-    the oversized-key list back onto the block rows. The profile of
-    oversized keys is tiny (it is the skew tail by construction), so
-    Catalyst broadcasts it and the block rows are never shuffled twice.
+    - Per-pass caps: weak, naturally-huge passes (host blocks — every
+      page of a site shares the key, but same-host ≠ duplicate) get a
+      tight cap so their quadratic self-join cost stays bounded; strong
+      passes (url, minhash bands) rarely exceed the default.
+    - Adaptive salt width: an oversized block of n rows is split on the
+      top ``ceil(log2(n/cap))`` SimHash bits (clamped to
+      ``salt_bits_max``) — just enough subdivision to respect the cap in
+      expectation, no more, so near-duplicate co-residence survives.
+
+    One aggregation (block-size profile) + one broadcast join of the
+    oversized-key list (the skew tail — tiny by construction) back onto
+    the block rows; the block rows are shuffled exactly once.
     """
-    sizes = blocks.groupBy("block_key").count()
-    oversized = sizes.filter(F.col("count") > block_cap).select("block_key")
+    caps = {"h:": 64}
+    if weak_pass_caps is not None:
+        caps = weak_pass_caps
+    cap_col = F.lit(block_cap)
+    for prefix, cap in caps.items():
+        cap_col = F.when(
+            F.col("block_key").startswith(prefix), F.lit(min(cap, block_cap))
+        ).otherwise(cap_col)
+    sizes = blocks.groupBy("block_key").count().withColumn("_cap", cap_col)
+    oversized = sizes.filter(F.col("count") > F.col("_cap")).select(
+        "block_key",
+        F.least(
+            F.lit(salt_bits_max),
+            F.ceil(F.log2(F.col("count") / F.col("_cap"))).cast("int"),
+        ).alias("_bits"),
+    )
+    salt = F.lit(None).cast("long")
+    for b in range(salt_bits_max, 0, -1):
+        salt = F.when(F.col("_bits") == b, F.shiftrightunsigned("simhash", 64 - b)).otherwise(salt)
     salted = (
-        blocks.join(F.broadcast(oversized.withColumn("_over", F.lit(True))), "block_key", "left")
+        blocks.join(F.broadcast(oversized), "block_key", "left")
         .withColumn(
             "block_key",
             F.when(
-                F.col("_over").isNotNull(),
-                F.concat_ws(
-                    ":",
-                    F.col("block_key"),
-                    F.shiftrightunsigned("simhash", 64 - salt_bits),
-                ),
+                F.col("_bits").isNotNull(),
+                F.concat_ws(":", F.col("block_key"), salt),
             ).otherwise(F.col("block_key")),
         )
-        .drop("_over")
+        .drop("_bits")
     )
     return salted
 

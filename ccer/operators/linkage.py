@@ -396,4 +396,5 @@ def validate_entities(
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .drop("rn")
+        .withColumnRenamed("org_name", "matched_org")
     )

@@ -119,20 +119,31 @@ def score_pairs(
             xa = pdf["text_norm_a"].tolist()
             xb = pdf["text_norm_b"].tolist()
             for i in range(n):
-                a = np.asarray(sha[i], dtype=np.int64)
-                b = np.asarray(shb[i], dtype=np.int64)
                 su = bool(ua[i]) and ua[i] == ub[i]
                 same_url[i] = su
+                if su:
+                    match[i] = True
+                    s_set[i] = 1.0
+                    continue
+                a = np.asarray(sha[i], dtype=np.int64)
+                b = np.asarray(shb[i], dtype=np.int64)
                 cs = _set_cosine(a, b)
                 s_set[i] = cs
-                jw = jaro_winkler_similarity(ta[i] or "", tb[i] or "")
-                s_jw[i] = jw
-                decided_match = su or cs >= cfg.cos_hi or (cs >= cfg.cos_lo and jw >= cfg.jw_gate)
-                if decided_match:
+                if cs >= cfg.cos_hi:
                     match[i] = True
                     continue
+                if cs < lo_band:
+                    # hopeless pair: no kernel work at all (the common
+                    # case for weak-signal blocks like same-host)
+                    continue
+                if cs >= cfg.cos_lo:
+                    jw = jaro_winkler_similarity(ta[i] or "", tb[i] or "")
+                    s_jw[i] = jw
+                    if jw >= cfg.jw_gate:
+                        match[i] = True
+                        continue
                 # ambiguous band: pay for the Levenshtein DP only here
-                if lo_band <= cs < hi_band:
+                if cs < hi_band:
                     lr = levenshtein_ratio((xa[i] or "")[:prefix], (xb[i] or "")[:prefix])
                     s_lev[i] = lr
                     if lr >= cfg.lev_hi:

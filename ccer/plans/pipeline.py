@@ -37,7 +37,8 @@ class PipelineConfig:
         shingle_k: int = 3,
         text_cap: int = 4000,
         block_cap: int = 500,
-        salt_bits: int = 12,
+        weak_pass_caps: dict | None = None,
+        salt_bits_max: int = 12,
         passes=("url", "host", "minhash", "simhash"),
         scoring: ScoringConfig | None = None,
     ):
@@ -46,7 +47,8 @@ class PipelineConfig:
         self.shingle_k = shingle_k
         self.text_cap = text_cap
         self.block_cap = block_cap
-        self.salt_bits = salt_bits
+        self.weak_pass_caps = weak_pass_caps
+        self.salt_bits_max = salt_bits_max
         self.passes = passes
         self.scoring = scoring or ScoringConfig()
 
@@ -84,7 +86,8 @@ def run_pipeline(
         lambda: salt_oversized_blocks(
             block_keys(features, passes=cfg.passes, minhash_bands=cfg.minhash_bands),
             block_cap=cfg.block_cap,
-            salt_bits=cfg.salt_bits,
+            weak_pass_caps=cfg.weak_pass_caps,
+            salt_bits_max=cfg.salt_bits_max,
         ),
     )
     pairs = stage("pairs", lambda: candidate_pairs(blocks))

@@ -1,0 +1,126 @@
+"""Property tests for the curation operators whose semantics have no SQL
+oracle (LSH paths) + sanity checks for the SQL-expressible ones."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ccer.operators.ann import brute_force_topk, lsh_topk
+from ccer.operators.dedup import (
+    exact_dedup,
+    exact_dedup_groups,
+    minhash_neardup_pairs,
+    simhash_neardup_pairs,
+)
+from ccer.operators.multimodal import binary_metadata, decode_images, sample_frames
+from ccer.operators.textstats import detect_language, quality_features
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    """Docs with planted exact + near duplicates."""
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "into the deep green forest where tall trees grow near the river"
+    )
+    near = base.replace("quick", "quik").replace("lazy", "sleepy")
+    other = (
+        "completely different content about databases indexes queries "
+        "optimizers joins aggregations windows partitions and shuffles"
+    )
+    rows = [
+        (0, base, "en", "s0"),
+        (1, base, "en", "s0"),          # exact dup of 0
+        (2, near, "en", "s0"),          # near dup of 0
+        (3, other, "en", "s1"),
+        (4, other + " extra tail words here", "en", "s1"),  # near dup of 3
+        (5, "der hund läuft nicht mit der katze und das ist ein problem für die stadt", "de", "s2"),
+        (6, "le chat est dans la maison et il est pour le moment dans une boîte", "fr", "s2"),
+        (7, "这是一个中文文档的例子没有空格", "zh", "s3"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string").cache()
+    df.count()
+    return df
+
+
+def test_exact_dedup(spark, corpus):
+    groups = exact_dedup_groups(corpus).collect()
+    assert len(groups) == 1 and groups[0]["keep_id"] == 0 and groups[0]["n_dups"] == 2
+    kept = exact_dedup(corpus)
+    assert kept.count() == 7
+    assert kept.filter(F.col("doc_id") == 1).count() == 0
+
+
+def test_minhash_neardup_finds_planted(spark, corpus):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_neardup_pairs(corpus, est_threshold=0.4).collect()
+    }
+    assert (0, 1) in pairs  # exact
+    assert (0, 2) in pairs or (1, 2) in pairs  # near
+    assert not any({a, b} == {0, 3} for a, b in pairs)  # unrelated
+
+
+def test_simhash_neardup_finds_planted(spark, corpus):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_neardup_pairs(corpus, max_hamming=10).collect()
+    }
+    assert (0, 1) in pairs
+    assert not any({a, b} == {0, 3} for a, b in pairs)
+
+
+def test_lang_id(spark, corpus):
+    got = {r["doc_id"]: r["lang_pred"] for r in detect_language(corpus).collect()}
+    assert got[0] == "en" and got[5] == "de" and got[6] == "fr" and got[7] == "zh"
+
+
+def test_quality_features(spark, corpus):
+    got = {r["doc_id"]: r for r in quality_features(corpus).collect()}
+    assert got[0]["quality_score"] > 0.5          # long fluent english
+    assert got[7]["n_tokens"] == 1                # no-whitespace CJK
+    assert 0.0 <= got[7]["quality_score"] <= 0.3
+
+
+def test_ann_lsh_subset_of_brute_force_domain(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    vecs = rng.standard_normal((300, 16)).astype("float32")
+    # plant near neighbors: vec i+200 ≈ vec i for i < 20
+    vecs[200:220] = vecs[:20] + 0.01 * rng.standard_normal((20, 16)).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(300)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = brute_force_topk(emb, queries, k=3)
+    top1 = {
+        r["query_id"]: r["neighbor_id"]
+        for r in exact.filter(F.col("rank") == 1).collect()
+    }
+    for q in range(5):
+        assert top1[q] == q + 200  # the planted twin wins
+    approx = lsh_topk(emb, queries, k=3, n_rotations=6, n_planes=8)
+    a_top1 = {
+        r["query_id"]: r["neighbor_id"]
+        for r in approx.filter(F.col("rank") == 1).collect()
+    }
+    # LSH must find the planted twin for most queries (recall, not exactness)
+    hits = sum(1 for q in range(5) if a_top1.get(q) == q + 200)
+    assert hits >= 4
+
+
+def test_multimodal_plumbing(spark):
+    rows = [(f"u{i}", bytes([i]) * (10 + i)) for i in range(5)] + [("u_null", None)]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    meta = {r["url"]: r for r in binary_metadata(df).collect()}
+    assert meta["u0"]["n_bytes"] == 10 and len(meta["u1"]["sha256"]) == 64
+    dec = {r["url"]: r for r in decode_images(df).collect()}
+    assert dec["u2"]["decode_ok"] and dec["u2"]["width"] >= 64
+    assert dec["u_null"]["decode_ok"] is False
+    # determinism: same payload ⇒ same fake decode
+    dec2 = {r["url"]: r for r in decode_images(df).collect()}
+    assert dec == dec2
+    frames = sample_frames(df, n_frames=3)
+    assert frames.count() == 15  # 5 non-null payloads × 3 frames
+    # real-codec path fails loudly, not silently
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        decode_images(df, use_real_codecs=True).collect()

@@ -71,7 +71,7 @@ def test_skew_salting_bounds_block_size(spark, corpus, tmp_path_factory):
     from ccer.operators.features import extract_features
 
     feats = extract_features(corpus).cache()
-    blocks = salt_oversized_blocks(block_keys(feats), block_cap=50, salt_bits=12)
+    blocks = salt_oversized_blocks(block_keys(feats), block_cap=50)
     max_block = blocks.groupBy("block_key").count().agg(F.max("count")).collect()[0][0]
     # mega-host block (~20% of rows) must have been subdivided
     assert max_block <= 120  # 600 docs * 20% = 120 hard ceiling, salted below
