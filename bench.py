@@ -46,8 +46,12 @@ def main() -> None:
         return out
 
     # ---- flagship: ER pipeline over derived pages ----------------------
+    # amplify the documents table into a page corpus (~12 near-dup
+    # replicas per doc) so the ER bench has enough rows to amortize task
+    # setup (BASELINE.md: >= ~1e5 docs at the scaling protocol's sf)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    pages = dq.pages_from_documents(docs)
+    amplify = int(os.environ.get("CCER_BENCH_AMPLIFY", "12"))
+    pages = dq.pages_from_documents(docs, amplify=amplify)
     n_pages = pages.count()  # materialization cost excluded from ER timing
 
     def run_er():

@@ -810,24 +810,53 @@ FROM documents WHERE doc_id < 300
 # ER pipeline over pages derived from documents (rows-only checks)
 # =====================================================================
 
-def pages_from_documents(docs: DataFrame, variant_every: int = 3) -> DataFrame:
+def pages_from_documents(
+    docs: DataFrame, variant_every: int = 3, amplify: int = 1
+) -> DataFrame:
     """Deterministically lift the documents table into the input_hint page
-    shape, planting one near-dup variant per ``variant_every`` docs."""
+    shape, planting one near-dup variant per ``variant_every`` docs.
+
+    ``amplify`` > 1 replicates each document into that many DISTINCT
+    pages (distinct url + a deterministic word-rotation of the text) so
+    bench corpora scale beyond the raw documents row count without
+    creating degenerate exact-dup mega-blocks: replica k of a doc is a
+    near-duplicate of replica 0 (rotated by k words), so replicas of one
+    doc form one true cluster of size ``amplify``."""
+    if amplify > 1:
+        reps = F.explode(F.sequence(F.lit(0), F.lit(amplify - 1))).alias("rep")
+        docs = docs.select("doc_id", "source", "text", "lang", reps)
+        # rotate: drop the first rep words and append them at the end —
+        # high shingle overlap, distinct bytes
+        first_words = F.slice(F.split("text", r"\s+"), 1, F.col("rep"))
+        rest = F.slice(
+            F.split("text", r"\s+"),
+            F.col("rep") + 1,
+            F.greatest(F.size(F.split("text", r"\s+")) - F.col("rep"), F.lit(0)),
+        )
+        rotated = F.concat_ws(" ", F.concat(rest, first_words))
+        docs = docs.withColumn("text", rotated)
+    else:
+        docs = docs.withColumn("rep", F.lit(0))
     base = docs.select(
         F.concat(
-            F.lit("https://"), F.col("source"), F.lit(".example.org/doc/"), F.col("doc_id")
+            F.lit("https://"), F.col("source"), F.lit(".example.org/doc/"),
+            F.col("doc_id"), F.lit("/r"), F.col("rep"),
         ).alias("url"),
         F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
         F.lit(None).cast("binary").alias("html"),
         F.col("text"),
         F.col("lang"),
     )
-    variants = docs.filter(F.col("doc_id") % variant_every == 0).select(
+    variants = docs.filter(
+        (F.col("doc_id") % variant_every == 0) & (F.col("rep") == 0)
+    ).select(
         F.concat(
             F.lit("https://"),
             F.col("source"),
             F.lit(".example.org/doc/"),
             F.col("doc_id"),
+            F.lit("/r"),
+            F.col("rep"),
             F.lit("?utm_source=mirror"),
         ).alias("url"),
         F.to_timestamp(F.lit("2024-02-01 00:00:00")).alias("warc_ts"),

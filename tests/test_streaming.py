@@ -1,0 +1,52 @@
+"""Streaming ingestion + incremental clustering equivalence."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ccer.operators.blocking import block_keys, candidate_pairs, salt_oversized_blocks
+from ccer.operators.cluster import assign_clusters, connected_components
+from ccer.operators.features import extract_features
+from ccer.operators.scoring import match_edges, score_pairs
+from ccer.sources.pages import synthesize_pages
+from ccer.streaming.ingest import incremental_update, stream_ingest
+
+
+def test_incremental_equals_batch(spark):
+    pages = synthesize_pages(spark, 300, seed=42, with_labels=False).cache()
+    pages.count()
+    # batch reference run
+    feats = extract_features(pages)
+    blocks = salt_oversized_blocks(block_keys(feats))
+    edges = match_edges(score_pairs(candidate_pairs(blocks), feats))
+    batch_clusters = assign_clusters(feats, connected_components(edges))
+    batch_map = {r["rid"]: r["cluster_id"] for r in batch_clusters.collect()}
+
+    # two-increment run over the same rows (split by hash for stability)
+    p1 = pages.filter(F.xxhash64("url") % 2 == 0)
+    p2 = pages.subtract(p1)
+    f1, c1, _ = incremental_update(spark, None, None, p1)
+    f1 = f1.localCheckpoint(eager=True)
+    c1 = c1.localCheckpoint(eager=True)
+    _, _, inc_clusters = incremental_update(spark, f1, c1, p2)
+    inc_map = {r["rid"]: r["cluster_id"] for r in inc_clusters.collect()}
+    assert inc_map == batch_map
+    pages.unpersist()
+
+
+def test_stream_ingest_foreachbatch(spark, tmp_path):
+    input_dir = str(tmp_path / "in")
+    workdir = str(tmp_path / "wd")
+    pages = synthesize_pages(spark, 120, seed=42, with_labels=False)
+    pages.write.mode("overwrite").parquet(input_dir)
+    q = stream_ingest(spark, input_dir, workdir, trigger_once=True)
+    q.awaitTermination(120)
+    out = spark.read.parquet(os.path.join(workdir, "features_stream"))
+    assert out.count() == 120
+    assert "sig" in out.columns and "batch_id" in out.columns
+    # features identical to the batch kernel (byte-identical invariant)
+    batch = extract_features(pages)
+    a = {r["rid"]: r["text_norm"] for r in out.collect()}
+    b = {r["rid"]: r["text_norm"] for r in batch.collect()}
+    assert a == b
