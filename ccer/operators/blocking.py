@@ -160,7 +160,9 @@ def salt_oversized_blocks(
     return salted
 
 
-def candidate_pairs(blocks: DataFrame, pair_cap_per_block: int | None = None) -> DataFrame:
+def candidate_pairs(
+    blocks: DataFrame, hamming_prefilter: int | None = 26
+) -> DataFrame:
     """In-block self-join → distinct candidate id pairs (id_a < id_b).
 
     The join is a plain shuffle hash/sort-merge join on block_key — the
@@ -168,13 +170,25 @@ def candidate_pairs(blocks: DataFrame, pair_cap_per_block: int | None = None) ->
     capped upstream. ``dropDuplicates`` dedups pairs discovered by
     multiple passes (reference analog: DISTINCT over the OR-join,
     repository.py:113).
+
+    ``hamming_prefilter``: pairs whose 64-bit SimHash fingerprints differ
+    in more than this many bits are discarded INSIDE the join (JVM
+    ``bit_count(xor)``, whole-stage codegen) — random same-host pairs sit
+    at ~32 bits and die here for the cost of one XOR, so the expensive
+    sketch join downstream sees only plausible pairs. Exact-URL pairs
+    (``u:`` pass) bypass the filter: a re-crawl may have completely new
+    content yet is still the same page identity.
     """
-    left = blocks.select(F.col("block_key"), F.col("id").alias("id_a"))
-    right = blocks.select(F.col("block_key"), F.col("id").alias("id_b"))
-    pairs = (
-        left.join(right, "block_key")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
+    left = blocks.select(
+        F.col("block_key"), F.col("id").alias("id_a"), F.col("simhash").alias("fp_a")
     )
-    return pairs
+    right = blocks.select(
+        F.col("block_key"), F.col("id").alias("id_b"), F.col("simhash").alias("fp_b")
+    )
+    joined = left.join(right, "block_key").filter(F.col("id_a") < F.col("id_b"))
+    if hamming_prefilter is not None:
+        keep = (
+            F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))) <= hamming_prefilter
+        ) | F.col("block_key").startswith("u:")
+        joined = joined.filter(keep)
+    return joined.select("id_a", "id_b").dropDuplicates(["id_a", "id_b"])

@@ -92,6 +92,10 @@ def text_signatures(
 ) -> DataFrame:
     """One Arrow pass: id → (MinHash signature, SimHash fingerprint)."""
 
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        docs = docs.repartition(target)
+
     def gen(iterator):
         for pdf in iterator:
             out = []

@@ -33,7 +33,8 @@ from ccer.functions.normalize import html_to_text, normalize_text, normalize_url
 FEATURES_SCHEMA = (
     "rid string, id long, url string, warc_ts timestamp, lang string, "
     "url_norm string, host string, title_norm string, text_norm string, "
-    "n_tokens int, sig array<long>, simhash long, sh array<long>"
+    "text_prefix string, n_tokens int, n_sh int, sig array<long>, "
+    "simhash long, sh array<long>"
 )
 
 
@@ -54,6 +55,8 @@ def extract_features(
     shingle_k: int = 3,
     text_cap: int = 4000,
     title_cap: int = 120,
+    prefix_cap: int = 256,
+    sketch_k: int = 256,
 ) -> DataFrame:
     """(url, warc_ts, html?, text?, lang) → features table.
 
@@ -63,6 +66,12 @@ def extract_features(
     cols = pages.columns
     has_text = "text" in cols
     has_html = "html" in cols
+
+    # the Arrow pass parallelizes per partition — a small/single-file
+    # input would otherwise run the whole corpus on one core
+    target = pages.sparkSession.sparkContext.defaultParallelism
+    if pages.rdd.getNumPartitions() < target:
+        pages = pages.repartition(target)
 
     def gen(iterator):
         for pdf in iterator:
@@ -84,11 +93,15 @@ def extract_features(
                 title_norm = normalize_text(title) or ""
                 shingles = word_shingles(text_norm, k=shingle_k) if text_norm else []
                 # hash shingles ONCE; signature, fingerprint, and the
-                # pairwise-overlap set all derive from the same hashes
+                # pairwise-overlap sketch all derive from the same hashes
                 sh = hash_tokens64(shingles)
                 sig = minhash_from_hashes(sh, num_perm=num_perm)
                 fp = simhash_from_hashes(sh)
-                sh_sorted = np.sort(sh).astype(np.int64)
+                # bottom-k (KMV) sketch: the k smallest hashes of the
+                # shingle set — a fixed-size, mergeable overlap sketch so
+                # the pairwise-scoring join ships O(k) per record no
+                # matter how long the document is
+                sh_sorted = np.sort(sh)[:sketch_k].astype(np.int64)
                 rid = f"{url}@{tss[i].isoformat() if tss[i] is not None else ''}"
                 out_rows.append(
                     (
@@ -101,7 +114,9 @@ def extract_features(
                         url_host(url),
                         title_norm,
                         text_norm,
+                        text_norm[:prefix_cap],
                         len(text_norm.split()),
+                        int(sh.size),
                         sig.astype(np.int64).tolist(),  # uint64 bits as signed longs
                         np.uint64(fp).astype(np.int64).item(),
                         sh_sorted.tolist(),
@@ -111,7 +126,8 @@ def extract_features(
                 out_rows,
                 columns=[
                     "rid", "id", "url", "warc_ts", "lang", "url_norm", "host",
-                    "title_norm", "text_norm", "n_tokens", "sig", "simhash", "sh",
+                    "title_norm", "text_norm", "text_prefix", "n_tokens", "n_sh",
+                    "sig", "simhash", "sh",
                 ],
             )
 

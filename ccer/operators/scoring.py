@@ -51,6 +51,7 @@ class ScoringConfig:
         lev_hi: float = 0.90,
         lev_band: tuple[float, float] = (0.30, 0.90),
         lev_prefix: int = 256,
+        sketch_k: int = 256,
     ):
         self.cos_hi = cos_hi
         self.cos_lo = cos_lo
@@ -58,16 +59,34 @@ class ScoringConfig:
         self.lev_hi = lev_hi
         self.lev_band = lev_band
         self.lev_prefix = lev_prefix
+        self.sketch_k = sketch_k
 
 
-def _set_cosine(a: np.ndarray, b: np.ndarray) -> float:
-    """Binary cosine of two sorted unique int64 arrays (merge intersect)."""
-    if a.size == 0 or b.size == 0:
+def _set_cosine(a: np.ndarray, b: np.ndarray, na: int, nb: int, k: int) -> float:
+    """Binary cosine of two shingle sets from their bottom-k (KMV) sketches.
+
+    ``a``/``b`` are the k smallest 64-bit hashes of each set (sorted,
+    as signed int64); ``na``/``nb`` the true set sizes. When both sets fit
+    entirely in the sketch the computation is exact; otherwise the KMV
+    estimator is used: within the bottom-k of the union, the fraction of
+    hashes present in both sets is an unbiased estimate of Jaccard, and
+    |A∩B| = J/(1+J)·(|A|+|B|) converts to cosine with the true sizes.
+    """
+    if na == 0 or nb == 0:
         return 0.0
-    inter = np.intersect1d(a, b, assume_unique=True).size
-    if inter == 0:
+    if na <= k and nb <= k:
+        inter = np.intersect1d(a, b, assume_unique=True).size
+        return inter / float(np.sqrt(na * nb)) if inter else 0.0
+    union = np.union1d(a, b)
+    m = min(k, union.size)
+    kth = union[m - 1]
+    shared = np.intersect1d(a, b, assume_unique=True)
+    hits = int((shared <= kth).sum()) if shared.size else 0
+    j = hits / m
+    if j == 0.0:
         return 0.0
-    return inter / float(np.sqrt(a.size * b.size))
+    inter_est = j / (1.0 + j) * (na + nb)
+    return min(1.0, inter_est / float(np.sqrt(float(na) * float(nb))))
 
 
 def attach_pair_features(pairs: DataFrame, features: DataFrame) -> DataFrame:
@@ -77,7 +96,7 @@ def attach_pair_features(pairs: DataFrame, features: DataFrame) -> DataFrame:
     key, no Python involvement. At scale, bucketing the features table on
     id makes the second join shuffle-free.
     """
-    cols = ["url_norm", "title_norm", "text_norm", "lang", "sh"]
+    cols = ["url_norm", "title_norm", "text_prefix", "lang", "sh", "n_sh"]
     fa = features.select(
         [F.col("id").alias("_fid_a")] + [F.col(c).alias(f"{c}_a") for c in cols]
     )
@@ -101,6 +120,7 @@ def score_pairs(
 
     lo_band, hi_band = cfg.lev_band
     prefix = cfg.lev_prefix
+    sketch_k = cfg.sketch_k
 
     def score(iterator):
         for pdf in iterator:
@@ -112,12 +132,14 @@ def score_pairs(
             match = np.zeros(n, dtype=bool)
             sha = pdf["sh_a"].tolist()
             shb = pdf["sh_b"].tolist()
+            nsa = pdf["n_sh_a"].tolist()
+            nsb = pdf["n_sh_b"].tolist()
             ua = pdf["url_norm_a"].tolist()
             ub = pdf["url_norm_b"].tolist()
             ta = pdf["title_norm_a"].tolist()
             tb = pdf["title_norm_b"].tolist()
-            xa = pdf["text_norm_a"].tolist()
-            xb = pdf["text_norm_b"].tolist()
+            xa = pdf["text_prefix_a"].tolist()
+            xb = pdf["text_prefix_b"].tolist()
             for i in range(n):
                 su = bool(ua[i]) and ua[i] == ub[i]
                 same_url[i] = su
@@ -125,9 +147,10 @@ def score_pairs(
                     match[i] = True
                     s_set[i] = 1.0
                     continue
-                a = np.asarray(sha[i], dtype=np.int64)
-                b = np.asarray(shb[i], dtype=np.int64)
-                cs = _set_cosine(a, b)
+                # sketches were built in uint64 hash order; compare there
+                a = np.asarray(sha[i], dtype=np.int64).view(np.uint64)
+                b = np.asarray(shb[i], dtype=np.int64).view(np.uint64)
+                cs = _set_cosine(a, b, int(nsa[i]), int(nsb[i]), sketch_k)
                 s_set[i] = cs
                 if cs >= cfg.cos_hi:
                     match[i] = True

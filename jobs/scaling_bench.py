@@ -1,0 +1,141 @@
+"""Two-cluster-size scaling protocol (BASELINE.md): the identical ER job
+on identical input at local[8] (N) and local[32] (4N), shuffle
+partitions scaled proportionally, fresh JVM per run.
+
+Writes BENCH/BASELINE.md with docs/sec at both levels and the scaling
+efficiency (T_N/T_4N)/4 (target ≥ 0.8).
+
+Usage: python jobs/scaling_bench.py [--docs 120000] [--repeat 1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def prepare_corpus(n_docs: int, path: str) -> None:
+    """Materialize the deterministic synthetic page corpus once; both
+    scaling runs then read the SAME parquet bytes."""
+    from ccer.session import get_spark
+    from ccer.sources.pages import synthesize_pages
+
+    spark = get_spark(app_name="scaling-prep", cores=32)
+    pages = synthesize_pages(spark, n_docs, seed=42, with_labels=False)
+    pages.write.mode("overwrite").parquet(path)
+    spark.stop()
+
+
+def run_level(cores: int, corpus: str, workdir: str) -> dict:
+    shutil.rmtree(workdir, ignore_errors=True)
+    env = dict(os.environ)
+    t0 = time.time()
+    out = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "jobs", "run_pipeline.py"),
+            "--input", corpus,
+            "--workdir", workdir,
+            "--cores", str(cores),
+        ],
+        capture_output=True,
+        text=True,
+        env=env,
+        timeout=3600,
+    )
+    wall = time.time() - t0
+    last_json = None
+    for line in out.stdout.splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            last_json = json.loads(line)
+    if last_json is None:
+        raise RuntimeError(f"run at cores={cores} produced no JSON:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
+    last_json["wall_sec"] = round(wall, 1)
+    last_json["cores"] = cores
+    return last_json
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--docs", type=int, default=120_000)
+    parser.add_argument("--repeat", type=int, default=1)
+    parser.add_argument("--base", default="/tmp/ccer_scaling")
+    args = parser.parse_args()
+
+    corpus = os.path.join(args.base, "pages_parquet")
+    if not os.path.exists(corpus):
+        print(f"preparing corpus ({args.docs} docs)...", flush=True)
+        prepare_corpus(args.docs, corpus)
+
+    results = {8: [], 32: []}
+    for r in range(args.repeat):
+        for cores in (8, 32):
+            print(f"run {r}: local[{cores}]...", flush=True)
+            res = run_level(cores, corpus, os.path.join(args.base, f"wd_{cores}_{r}"))
+            print(json.dumps(res), flush=True)
+            results[cores].append(res)
+
+    best8 = min(r["elapsed_sec"] for r in results[8])
+    best32 = min(r["elapsed_sec"] for r in results[32])
+    dps8 = args.docs / best8
+    dps32 = args.docs / best32
+    eff = (best8 / best32) / 4.0
+    summary = {
+        "n_docs": args.docs,
+        "elapsed_sec_local8": best8,
+        "elapsed_sec_local32": best32,
+        "docs_per_sec_local8": round(dps8, 1),
+        "docs_per_sec_local32": round(dps32, 1),
+        "scaling_efficiency": round(eff, 3),
+    }
+    print(json.dumps(summary), flush=True)
+
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    stage8 = results[8][-1].get("stage_sec", {})
+    stage32 = results[32][-1].get("stage_sec", {})
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
+        fh.write(
+            f"""# BENCH/BASELINE — two-cluster-size scaling protocol
+
+Identical ER pipeline job (`jobs/run_pipeline.py`) on identical input
+({args.docs:,} deterministic synthetic pages, seed=42, pre-materialized
+parquet), fresh JVM per run, shuffle partitions = cores.
+
+| level | cores | elapsed (s) | docs/sec |
+|---|---|---|---|
+| N  | local[8]  | {best8:.1f} | {dps8:.1f} |
+| 4N | local[32] | {best32:.1f} | {dps32:.1f} |
+
+**Scaling efficiency (T_N / T_4N) / 4 = {eff:.3f}** (target ≥ 0.8).
+
+Per-stage seconds (last run):
+
+| stage | local[8] | local[32] |
+|---|---|---|
+""" + "\n".join(
+                f"| {k} | {stage8.get(k, '-')} | {stage32.get(k, '-')} |"
+                for k in ["features", "blocks", "pairs", "edges", "components", "clusters"]
+            )
+            + f"""
+
+Raw runs:
+
+```json
+{json.dumps(results, indent=2)}
+```
+"""
+        )
+    print("wrote BENCH/BASELINE.md", flush=True)
+
+
+if __name__ == "__main__":
+    main()
