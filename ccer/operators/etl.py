@@ -28,6 +28,67 @@ from pyspark.sql import DataFrame, functions as F
 from ccer.operators.linkage import normalize_text_udf
 
 
+def flatten_works(works: DataFrame) -> DataFrame:
+    """Nested work records → long/EAV rows (the Rust trie traversal,
+    openalex main.rs:389-500, as nested projection + posexplode).
+
+    Expects the canonical nested shape
+    ``work_id, doi, authorships: array<struct<author_name, affiliations:
+    array<struct<affiliation_name, institution_id>>>>`` and emits the
+    reference's long format with bracketed subfield paths — array indices
+    come from posexplode positions instead of trie bookkeeping.
+    """
+    a = works.select(
+        "work_id",
+        "doi",
+        F.posexplode_outer("authorships").alias("author_idx", "auth"),
+    )
+    names = a.select(
+        "work_id",
+        "doi",
+        F.lit("authorships.author.display_name").alias("field_name"),
+        F.concat(
+            F.lit("authorships["), F.col("author_idx"), F.lit("].author.display_name")
+        ).alias("subfield_path"),
+        F.col("auth.author_name").alias("value"),
+    )
+    affs = a.select(
+        "work_id",
+        "doi",
+        F.col("author_idx"),
+        F.posexplode_outer("auth.affiliations").alias("aff_idx", "aff"),
+    )
+    aff_names = affs.filter(F.col("aff").isNotNull()).select(
+        "work_id",
+        "doi",
+        F.lit("authorships.affiliations.raw_affiliation_string").alias("field_name"),
+        F.concat(
+            F.lit("authorships["), F.col("author_idx"),
+            F.lit("].affiliations["), F.col("aff_idx"),
+            F.lit("].raw_affiliation_string"),
+        ).alias("subfield_path"),
+        F.col("aff.affiliation_name").alias("value"),
+    )
+    inst = affs.filter(F.col("aff.institution_id").isNotNull()).select(
+        "work_id",
+        "doi",
+        F.lit("authorships.affiliations.institution_ids").alias("field_name"),
+        F.concat(
+            F.lit("authorships["), F.col("author_idx"),
+            F.lit("].affiliations["), F.col("aff_idx"),
+            F.lit("].institution_ids[0]"),
+        ).alias("subfield_path"),
+        F.col("aff.institution_id").alias("value"),
+    )
+    long = names.unionByName(aff_names).unionByName(inst)
+    return (
+        long.filter(F.col("value").isNotNull())
+        .withColumn("source_id", F.lit("S1"))
+        .withColumn("doi_prefix", F.substring_index("doi", "/", 1))
+        .withColumn("source_file_path", F.lit("nested"))
+    )
+
+
 def parse_subfield_indices(long_fields: DataFrame) -> DataFrame:
     """Add author_idx / aff_idx integer columns parsed from the bracketed
     subfield_path text (reference regexes, main.rs:318-323)."""

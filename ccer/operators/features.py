@@ -63,9 +63,28 @@ def extract_features(
     ``text`` is taken from the text column when present, else extracted
     deterministically from ``html`` via the canonical kernel.
     """
+    from pyspark.sql import functions as F
+
     cols = pages.columns
     has_text = "text" in cols
     has_html = "html" in cols
+
+    # ship ONLY what the kernel needs through Arrow. html bytes are the
+    # widest column; when a text column exists, html is needed only for
+    # rows whose text is null — blank it JVM-side for the rest.
+    selected = [F.col("url"), F.col("warc_ts")]
+    selected.append(F.col("lang") if "lang" in cols else F.lit(None).cast("string").alias("lang"))
+    if has_text:
+        selected.append(F.col("text"))
+        if has_html:
+            selected.append(
+                F.when(F.col("text").isNull(), F.col("html")).alias("html")
+            )
+    elif has_html:
+        selected.append(F.col("html"))
+    pages = pages.select(*selected)
+    has_text = "text" in pages.columns
+    has_html = "html" in pages.columns
 
     # the Arrow pass parallelizes per partition — a small/single-file
     # input would otherwise run the whole corpus on one core
@@ -75,13 +94,22 @@ def extract_features(
 
     def gen(iterator):
         for pdf in iterator:
-            out_rows = []
             n = len(pdf)
             urls = pdf["url"].tolist()
             tss = pdf["warc_ts"].tolist()
             langs = pdf["lang"].tolist() if "lang" in pdf else [None] * n
             texts = pdf["text"].tolist() if has_text else [None] * n
             htmls = pdf["html"].tolist() if has_html else [None] * n
+            # column-wise output buffers; signature/sketch columns stay
+            # numpy (Arrow consumes ndarray cells directly — boxing the
+            # 384 ints per row into Python lists would dominate the pass)
+            rids, ids2 = [], np.empty(n, dtype=np.int64)
+            url_norms, hosts, title_norms = [], [], []
+            text_norms, text_prefixes = [], []
+            n_tokens = np.empty(n, dtype=np.int32)
+            n_shs = np.empty(n, dtype=np.int32)
+            sigs, shs = [], []
+            fps = np.empty(n, dtype=np.int64)
             for i in range(n):
                 url = urls[i] or ""
                 text = texts[i]
@@ -97,38 +125,39 @@ def extract_features(
                 sh = hash_tokens64(shingles)
                 sig = minhash_from_hashes(sh, num_perm=num_perm)
                 fp = simhash_from_hashes(sh)
-                # bottom-k (KMV) sketch: the k smallest hashes of the
-                # shingle set — a fixed-size, mergeable overlap sketch so
-                # the pairwise-scoring join ships O(k) per record no
-                # matter how long the document is
-                sh_sorted = np.sort(sh)[:sketch_k].astype(np.int64)
                 rid = f"{url}@{tss[i].isoformat() if tss[i] is not None else ''}"
-                out_rows.append(
-                    (
-                        rid,
-                        stable_id(rid),
-                        url,
-                        tss[i],
-                        langs[i],
-                        normalize_url(url),
-                        url_host(url),
-                        title_norm,
-                        text_norm,
-                        text_norm[:prefix_cap],
-                        len(text_norm.split()),
-                        int(sh.size),
-                        sig.astype(np.int64).tolist(),  # uint64 bits as signed longs
-                        np.uint64(fp).astype(np.int64).item(),
-                        sh_sorted.tolist(),
-                    )
-                )
+                rids.append(rid)
+                ids2[i] = stable_id(rid)
+                url_norms.append(normalize_url(url))
+                hosts.append(url_host(url))
+                title_norms.append(title_norm)
+                text_norms.append(text_norm)
+                text_prefixes.append(text_norm[:prefix_cap])
+                n_tokens[i] = len(text_norm.split())
+                n_shs[i] = sh.size
+                sigs.append(sig.view(np.int64))
+                # bottom-k (KMV) sketch: k smallest hashes — fixed-size,
+                # mergeable overlap sketch, O(k) bytes per record
+                shs.append(np.sort(sh)[:sketch_k].view(np.int64))
+                fps[i] = np.uint64(fp).astype(np.int64)
             yield pd.DataFrame(
-                out_rows,
-                columns=[
-                    "rid", "id", "url", "warc_ts", "lang", "url_norm", "host",
-                    "title_norm", "text_norm", "text_prefix", "n_tokens", "n_sh",
-                    "sig", "simhash", "sh",
-                ],
+                {
+                    "rid": rids,
+                    "id": ids2,
+                    "url": urls,
+                    "warc_ts": tss,
+                    "lang": langs,
+                    "url_norm": url_norms,
+                    "host": hosts,
+                    "title_norm": title_norms,
+                    "text_norm": text_norms,
+                    "text_prefix": text_prefixes,
+                    "n_tokens": n_tokens,
+                    "n_sh": n_shs,
+                    "sig": sigs,
+                    "simhash": fps,
+                    "sh": shs,
+                }
             )
 
     return pages.mapInPandas(gen, schema=FEATURES_SCHEMA)

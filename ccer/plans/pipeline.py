@@ -95,7 +95,17 @@ def run_pipeline(
         "edges", lambda: match_edges(score_pairs(pairs, features, cfg.scoring))
     )
     components = stage("components", lambda: connected_components(edges))
-    clusters = stage("clusters", lambda: assign_clusters(features, components))
+    # the clusters table is the pipeline's OUTPUT — keep it slim (the
+    # signature/sketch columns live in the features checkpoint; rewriting
+    # them here would double the heaviest write for no reader)
+    slim = [
+        "rid", "id", "url", "warc_ts", "lang", "url_norm", "host",
+        "n_tokens", "cluster_id",
+    ]
+    clusters = stage(
+        "clusters",
+        lambda: assign_clusters(features, components).select(*slim),
+    )
     return clusters
 
 
