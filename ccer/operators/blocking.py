@@ -6,27 +6,30 @@ Blocking is the reference's equi-key prefilter generalized
 join runs the expensive similarity UDF only inside doi/work_id blocks).
 Here the block keys are content-derived:
 
-- ``url``  — exact normalized-url key (catches re-crawls for free)
-- ``host`` — normalized host (cheap, high-recall for same-site dups)
-- ``minhash`` — LSH band keys over the stored MinHash signature
-- ``simhash`` — rotated 16-bit fingerprint prefixes
+- pass 1 ``url``  — exact normalized-url key (catches re-crawls free)
+- pass 2 ``host`` — normalized host (cheap same-site signal, weak)
+- pass 3 ``minhash`` — LSH band keys over the stored MinHash signature
+- pass 4 ``simhash`` — rotated 16-bit fingerprint prefixes
+
+Block keys are 64-bit ``xxhash64`` values, NOT strings: every downstream
+shuffle (the size profile, the in-block self-join, pair dedup) moves 8
+bytes per key instead of a 30-70 byte string — at 10^12 block rows that
+is the difference between a few TB and tens of TB of shuffle. A hash
+collision merely merges two unrelated blocks (extra candidates that the
+scorer rejects), never loses a pair.
 
 Everything here is JVM-side column algebra over the features table — the
-Python work (signatures) happened once in the features pass. MinHash band
-keys are ``xxhash64`` over signature slices; SimHash keys are bit ops on
-the stored long. Catalyst sees plain projections + a groupBy, so the
-whole stage is whole-stage-codegen'd and shuffles exactly once (the
-block-size profile).
+Python work (signatures) happened once in the features pass, so the
+whole stage is whole-stage-codegen'd.
 
 Skew (north rule "salted, skew-aware block partitions"): a block larger
-than ``block_cap`` would cost O(n²) in the in-block self-join — one
-mega-host block of 10^8 rows is 10^16 pairs. Oversized blocks are
-subdivided by a CONTENT-DERIVED salt (the top ``salt_bits`` of the
-record's SimHash) rather than a random one: exact and near duplicates
-agree on those bits with high probability, so they stay co-blocked, while
-the block's quadratic cost drops by 4^salt_bits. Random-salt alternatives
-lose ALL cross-salt pairs; this loses only far pairs the other passes
-(minhash bands) still cover.
+than its cap would cost O(n²) in the self-join — one mega-host block of
+10^8 rows is 10^16 pairs. Oversized blocks are subdivided by a
+CONTENT-DERIVED salt: the top ``ceil(log2(n/cap))`` SimHash bits. Exact
+and near duplicates agree on those bits with high probability, so they
+stay co-blocked, while the block's quadratic cost drops by 4^bits;
+random salting would lose ALL cross-salt pairs. Weak passes (host) get a
+tighter cap than strong passes (url, MinHash bands).
 """
 
 from __future__ import annotations
@@ -34,6 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 DEFAULT_PASSES = ("url", "host", "minhash", "simhash")
+PASS_URL, PASS_HOST, PASS_MINHASH, PASS_SIMHASH = 1, 2, 3, 4
 
 
 def block_keys(
@@ -42,17 +46,18 @@ def block_keys(
     minhash_bands: int = 32,
     simhash_bits: int = 16,
     simhash_rotations=(0, 21, 43),
+    num_perm: int = 128,
 ) -> DataFrame:
-    """features → (block_key string, id long, simhash long) block rows."""
-    num_perm = 128  # matches features default; slices validated at runtime
+    """features → (block_key long, pass_id int, id long, simhash long)."""
     rows_per_band = num_perm // minhash_bands
     parts = []
-    base = features.select("id", "simhash", "sig", "url_norm", "host", "lang")
+    base = features.select("id", "simhash", "sig", "url_norm", "host")
 
     if "url" in passes:
         parts.append(
             base.filter(F.col("url_norm") != "").select(
-                F.concat(F.lit("u:"), F.col("url_norm")).alias("block_key"),
+                F.xxhash64(F.lit("u"), F.col("url_norm")).alias("block_key"),
+                F.lit(PASS_URL).alias("pass_id"),
                 "id",
                 "simhash",
             )
@@ -60,24 +65,27 @@ def block_keys(
     if "host" in passes:
         parts.append(
             base.filter(F.col("host") != "").select(
-                F.concat(F.lit("h:"), F.col("host")).alias("block_key"),
+                F.xxhash64(F.lit("h"), F.col("host")).alias("block_key"),
+                F.lit(PASS_HOST).alias("pass_id"),
                 "id",
                 "simhash",
             )
         )
     if "minhash" in passes:
         band_cols = [
-            F.concat_ws(
-                ":",
+            F.xxhash64(
                 F.lit("m"),
-                F.lit(str(band)),
-                F.xxhash64(F.slice("sig", band * rows_per_band + 1, rows_per_band)),
+                F.lit(band),
+                F.slice("sig", band * rows_per_band + 1, rows_per_band),
             )
             for band in range(minhash_bands)
         ]
         parts.append(
             base.select(
-                F.explode(F.array(*band_cols)).alias("block_key"), "id", "simhash"
+                F.explode(F.array(*band_cols)).alias("block_key"),
+                F.lit(PASS_MINHASH).alias("pass_id"),
+                "id",
+                "simhash",
             )
         )
     if "simhash" in passes:
@@ -91,12 +99,15 @@ def block_keys(
                     F.shiftrightunsigned("simhash", 64 - rot)
                 )
             key_cols.append(
-                F.concat_ws(
-                    ":", F.lit("s"), F.lit(str(rot)), F.shiftrightunsigned(rotated, shift)
-                )
+                F.xxhash64(F.lit("s"), F.lit(rot), F.shiftrightunsigned(rotated, shift))
             )
         parts.append(
-            base.select(F.explode(F.array(*key_cols)).alias("block_key"), "id", "simhash")
+            base.select(
+                F.explode(F.array(*key_cols)).alias("block_key"),
+                F.lit(PASS_SIMHASH).alias("pass_id"),
+                "id",
+                "simhash",
+            )
         )
 
     out = parts[0]
@@ -112,37 +123,30 @@ def salt_oversized_blocks(
     salt_bits_max: int = 12,
 ) -> DataFrame:
     """Subdivide blocks larger than their cap by a SimHash-prefix salt
-    whose width adapts to the block size.
-
-    - Per-pass caps: weak, naturally-huge passes (host blocks — every
-      page of a site shares the key, but same-host ≠ duplicate) get a
-      tight cap so their quadratic self-join cost stays bounded; strong
-      passes (url, minhash bands) rarely exceed the default.
-    - Adaptive salt width: an oversized block of n rows is split on the
-      top ``ceil(log2(n/cap))`` SimHash bits (clamped to
-      ``salt_bits_max``) — just enough subdivision to respect the cap in
-      expectation, no more, so near-duplicate co-residence survives.
+    whose width adapts to the block size (see module docstring).
 
     One aggregation (block-size profile) + one broadcast join of the
     oversized-key list (the skew tail — tiny by construction) back onto
     the block rows; the block rows are shuffled exactly once.
     """
-    caps = {"h:": 64}
-    if weak_pass_caps is not None:
-        caps = weak_pass_caps
+    caps = {PASS_HOST: 32} if weak_pass_caps is None else weak_pass_caps
     cap_col = F.lit(block_cap)
-    for prefix, cap in caps.items():
+    for pass_id, cap in caps.items():
         cap_col = F.when(
-            F.col("block_key").startswith(prefix), F.lit(min(cap, block_cap))
+            F.col("pass_id") == pass_id, F.lit(min(cap, block_cap))
         ).otherwise(cap_col)
-    sizes = blocks.groupBy("block_key").count().withColumn("_cap", cap_col)
+    sizes = (
+        blocks.groupBy("block_key", "pass_id")
+        .count()
+        .withColumn("_cap", cap_col)
+    )
     oversized = sizes.filter(F.col("count") > F.col("_cap")).select(
         "block_key",
         F.least(
             F.lit(salt_bits_max),
             F.ceil(F.log2(F.col("count") / F.col("_cap"))).cast("int"),
         ).alias("_bits"),
-    )
+    ).dropDuplicates(["block_key"])
     salt = F.lit(None).cast("long")
     for b in range(salt_bits_max, 0, -1):
         salt = F.when(F.col("_bits") == b, F.shiftrightunsigned("simhash", 64 - b)).otherwise(salt)
@@ -152,7 +156,7 @@ def salt_oversized_blocks(
             "block_key",
             F.when(
                 F.col("_bits").isNotNull(),
-                F.concat_ws(":", F.col("block_key"), salt),
+                F.xxhash64("block_key", salt),
             ).otherwise(F.col("block_key")),
         )
         .drop("_bits")
@@ -165,30 +169,32 @@ def candidate_pairs(
 ) -> DataFrame:
     """In-block self-join → distinct candidate id pairs (id_a < id_b).
 
-    The join is a plain shuffle hash/sort-merge join on block_key — the
-    one place the engine is quadratic, which is exactly why blocks were
-    capped upstream. ``dropDuplicates`` dedups pairs discovered by
-    multiple passes (reference analog: DISTINCT over the OR-join,
-    repository.py:113).
+    The join is a plain shuffle hash/sort-merge join on the 8-byte
+    block_key — the one place the engine is quadratic, which is exactly
+    why blocks were capped upstream. ``dropDuplicates`` dedups pairs
+    discovered by multiple passes (reference analog: DISTINCT over the
+    OR-join, repository.py:113).
 
     ``hamming_prefilter``: pairs whose 64-bit SimHash fingerprints differ
     in more than this many bits are discarded INSIDE the join (JVM
     ``bit_count(xor)``, whole-stage codegen) — random same-host pairs sit
-    at ~32 bits and die here for the cost of one XOR, so the expensive
-    sketch join downstream sees only plausible pairs. Exact-URL pairs
-    (``u:`` pass) bypass the filter: a re-crawl may have completely new
+    at ~32 bits and die here for the cost of one XOR. Exact-URL pairs
+    (pass 1) bypass the filter: a re-crawl may have completely new
     content yet is still the same page identity.
     """
     left = blocks.select(
-        F.col("block_key"), F.col("id").alias("id_a"), F.col("simhash").alias("fp_a")
+        "block_key",
+        "pass_id",
+        F.col("id").alias("id_a"),
+        F.col("simhash").alias("fp_a"),
     )
     right = blocks.select(
-        F.col("block_key"), F.col("id").alias("id_b"), F.col("simhash").alias("fp_b")
+        "block_key", F.col("id").alias("id_b"), F.col("simhash").alias("fp_b")
     )
     joined = left.join(right, "block_key").filter(F.col("id_a") < F.col("id_b"))
     if hamming_prefilter is not None:
         keep = (
             F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))) <= hamming_prefilter
-        ) | F.col("block_key").startswith("u:")
+        ) | (F.col("pass_id") == PASS_URL)
         joined = joined.filter(keep)
     return joined.select("id_a", "id_b").dropDuplicates(["id_a", "id_b"])

@@ -55,8 +55,8 @@ def extract_features(
     shingle_k: int = 3,
     text_cap: int = 4000,
     title_cap: int = 120,
-    prefix_cap: int = 256,
-    sketch_k: int = 256,
+    prefix_cap: int = 128,
+    sketch_k: int = 64,
 ) -> DataFrame:
     """(url, warc_ts, html?, text?, lang) → features table.
 

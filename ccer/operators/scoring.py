@@ -9,9 +9,11 @@ surviving candidates).
 
 Score components per pair:
 
-- ``s_set``  — set cosine |A∩B|/√(|A||B|) over the pre-hashed word-shingle
-  sets (sorted int64 arrays from the features stage → the intersection is
-  an O(n) numpy merge, no re-shingling, no string work);
+- ``s_set``  — set cosine |A∩B|/√(|A||B|) over the word-shingle sets,
+  computed from their bottom-k (KMV) sketches (k smallest hashes, built
+  once in the features stage): exact when both sets fit the sketch, an
+  unbiased KMV estimate otherwise — O(k) bytes per record in the pair
+  join no matter how long the document is;
 - ``s_lev``  — Levenshtein ratio of the normalized-text prefixes, computed
   LAZILY only for pairs in the ambiguous band (the DP is the expensive
   kernel; decided pairs skip it);
@@ -50,8 +52,8 @@ class ScoringConfig:
         jw_gate: float = 0.85,
         lev_hi: float = 0.90,
         lev_band: tuple[float, float] = (0.30, 0.90),
-        lev_prefix: int = 256,
-        sketch_k: int = 256,
+        lev_prefix: int = 128,
+        sketch_k: int = 64,
     ):
         self.cos_hi = cos_hi
         self.cos_lo = cos_lo

@@ -489,6 +489,183 @@ GROUP BY p_brand
 """
 
 
+def q_pivot_conditional_agg(spark, sf_dir):
+    """Long→wide pivot via conditional aggregation (the Spark shape of the
+    reference's per-group field routing, parse_join main.rs:409-464)."""
+    ev = _t(spark, sf_dir, "events")
+    bucket = (F.col("user_id") % 10).alias("user_bucket")
+    return ev.groupBy(bucket).agg(
+        F.round(F.sum(F.when(F.col("event_type") == "click", F.col("value"))), 2).alias("click_value"),
+        F.round(F.sum(F.when(F.col("event_type") == "purchase", F.col("value"))), 2).alias("purchase_value"),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("error_count"),
+    )
+
+
+SQL_PIVOT_AGG = """
+SELECT user_id % 10 AS user_bucket,
+       round(sum(CASE WHEN event_type = 'click' THEN value END), 2) AS click_value,
+       round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2) AS purchase_value,
+       count(CASE WHEN event_type = 'error' THEN 1 END) AS error_count
+FROM events GROUP BY user_id % 10
+"""
+
+
+def q_rollup_agg(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+            "qty",
+        )
+    )
+
+
+SQL_ROLLUP = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       count(*) AS n, round(sum(l_quantity), 2) AS qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_running_window(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(
+            F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2
+        ).alias("running_value"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+
+
+SQL_RUNNING_WINDOW = """
+SELECT user_id, event_id,
+       round(sum(value) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value,
+       lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+FROM events WHERE user_id < 20
+"""
+
+
+def q_sessionize(spark, sf_dir):
+    """Sessionization: lag(ts) + gap>30min cumsum — the classic window
+    composition (no reference analog; core web-log operator)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet timestamps arrive as TIMESTAMP_NTZ; session tz is pinned UTC
+    # so NTZ→LTZ→long equals DuckDB's epoch() on the same naive value
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    with_gap = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0),
+    )
+    sess = with_gap.withColumn(
+        "session_idx",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("session_value"),
+    )
+
+
+SQL_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w IS NULL
+               OR epoch(ts) - lag(epoch(ts)) OVER w > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events WHERE user_id < 50
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT *, sum(new_session) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM g
+)
+SELECT user_id, session_idx, count(*) AS n_events,
+       round(sum(value), 2) AS session_value
+FROM s GROUP BY user_id, session_idx
+"""
+
+
+def q_posexplode_index(spark, sf_dir):
+    """posexplode keeps array positions as integer columns — the Spark
+    replacement for the reference's bracketed-path index encoding
+    (SURVEY §2.2 trie-extraction row)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos", "token"),
+    ).filter(F.col("pos") < 5)
+
+
+SQL_POSEXPLODE = r"""
+SELECT doc_id, CAST(u.pos - 1 AS INT) AS pos, u.token
+FROM documents,
+     LATERAL (
+       SELECT UNNEST(regexp_split_to_array(trim(text), '\s+')) AS token,
+              generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) AS pos
+     ) u
+WHERE doc_id < 50 AND u.pos - 1 < 5
+"""
+
+
+def q_extract_doi_kernel(spark, sf_dir):
+    """The extract_doi kernel over constructed dirty-DOI forms; oracle
+    re-expresses the same restricted grammar in SQL."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 400)
+    dirty = F.when(
+        F.col("p_partkey") % 4 == 0,
+        F.concat(F.lit("https://doi.org/10.1234/item."), F.col("p_partkey")),
+    ).when(
+        F.col("p_partkey") % 4 == 1,
+        F.concat(F.lit("doi:10.1234/item."), F.col("p_partkey")),
+    ).when(
+        F.col("p_partkey") % 4 == 2,
+        F.concat(F.lit("10.1234/item."), F.col("p_partkey"), F.lit("?utm=x")),
+    ).otherwise(F.concat(F.lit("not-a-doi-"), F.col("p_partkey")))
+    import pandas as pd  # noqa: F811
+
+    from ccer.operators.linkage import extract_doi_udf
+
+    return part.select(
+        "p_partkey", dirty.alias("raw"), extract_doi_udf(dirty).alias("clean_doi")
+    )
+
+
+SQL_EXTRACT_DOI = r"""
+WITH raw AS (
+  SELECT p_partkey,
+         CASE p_partkey % 4
+           WHEN 0 THEN 'https://doi.org/10.1234/item.' || p_partkey
+           WHEN 1 THEN 'doi:10.1234/item.' || p_partkey
+           WHEN 2 THEN '10.1234/item.' || p_partkey || '?utm=x'
+           ELSE 'not-a-doi-' || p_partkey
+         END AS raw
+  FROM part WHERE p_partkey < 400
+)
+SELECT p_partkey, raw,
+       NULLIF(regexp_extract(split_part(split_part(
+         CASE
+           WHEN raw LIKE 'https://doi.org/%' THEN substring(raw, 17)
+           WHEN raw LIKE 'doi:%' THEN substring(raw, 5)
+           ELSE raw
+         END, '?', 1), '#', 1),
+         '^(10\.\d{4,}(?:\.\d+)?/[-._;()/:a-zA-Z0-9]+)(?:\s|$)', 1), '') AS clean_doi
+FROM raw
+"""
+
+
 # =====================================================================
 # fuzzy-similarity operators (SURVEY §2.8-2.9) — DuckDB builtins oracle
 # =====================================================================
@@ -928,6 +1105,12 @@ QUERIES = {
     "validity_filter": q_validity_filter,
     "substring_containment_join": q_substring_containment_join,
     "exists_array_filter": q_exists_array_filter,
+    "pivot_conditional_agg": q_pivot_conditional_agg,
+    "rollup_agg": q_rollup_agg,
+    "running_window": q_running_window,
+    "sessionize": q_sessionize,
+    "posexplode_index": q_posexplode_index,
+    "extract_doi_kernel": q_extract_doi_kernel,
     # fuzzy kernels
     "jw_similarity_pairs": q_jw_similarity_pairs,
     "levenshtein_pairs": q_levenshtein_pairs,
@@ -972,6 +1155,12 @@ ORACLES = {
     "validity_filter": SQL_VALIDITY_FILTER,
     "substring_containment_join": SQL_SUBSTRING_JOIN,
     "exists_array_filter": SQL_EXISTS_ARRAY,
+    "pivot_conditional_agg": SQL_PIVOT_AGG,
+    "rollup_agg": SQL_ROLLUP,
+    "running_window": SQL_RUNNING_WINDOW,
+    "sessionize": SQL_SESSIONIZE,
+    "posexplode_index": SQL_POSEXPLODE,
+    "extract_doi_kernel": SQL_EXTRACT_DOI,
     "jw_similarity_pairs": SQL_JW_PAIRS,
     "levenshtein_pairs": SQL_LEV_PAIRS,
     "normalize_text_kernel": SQL_NORMALIZE_KERNEL,

@@ -22,7 +22,10 @@ def get_spark(
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
-        shuffle_partitions = max(cores, 8)
+        # size shuffle partitions by DATA, not cores: a low-core run with
+        # cores-sized partitions spills multi-GB sort buffers to disk and
+        # degrades superlinearly. Start high; AQE coalesces the small ones.
+        shuffle_partitions = max(4 * cores, 64)
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
@@ -30,11 +33,20 @@ def get_spark(
         .config("spark.default.parallelism", str(cores))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            str(max(shuffle_partitions, 128)),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.driver.memory", os.environ.get("CCER_DRIVER_MEM", "16g"))
+        # zstd checkpoints: the stage tables are write-once/read-once —
+        # trade a little CPU (which scales) for disk I/O (which doesn't)
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        # local mode: the driver JVM hosts every executor thread — size the
+        # heap for all of them (32 tasks × join hash maps + Arrow buffers)
+        .config("spark.driver.memory", os.environ.get("CCER_DRIVER_MEM", "64g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )

@@ -68,6 +68,7 @@ def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--docs", type=int, default=120_000)
     parser.add_argument("--repeat", type=int, default=1)
+    parser.add_argument("--levels", default="8,32", help="comma list: N,4N cores")
     parser.add_argument("--base", default="/tmp/ccer_scaling")
     args = parser.parse_args()
 
@@ -76,21 +77,23 @@ def main() -> None:
         print(f"preparing corpus ({args.docs} docs)...", flush=True)
         prepare_corpus(args.docs, corpus)
 
-    results = {8: [], 32: []}
+    lo, hi = (int(x) for x in args.levels.split(","))
+    assert hi == 4 * lo, "levels must be N,4N"
+    results = {lo: [], hi: []}
     for r in range(args.repeat):
-        for cores in (8, 32):
+        for cores in (lo, hi):
             print(f"run {r}: local[{cores}]...", flush=True)
             res = run_level(cores, corpus, os.path.join(args.base, f"wd_{cores}_{r}"))
             print(json.dumps(res), flush=True)
             results[cores].append(res)
 
-    best8 = min(r["elapsed_sec"] for r in results[8])
-    best32 = min(r["elapsed_sec"] for r in results[32])
+    best8 = min(r["elapsed_sec"] for r in results[lo])
+    best32 = min(r["elapsed_sec"] for r in results[hi])
     dps8 = args.docs / best8
     dps32 = args.docs / best32
     eff = (best8 / best32) / 4.0
     summary = {
-        "n_docs": args.docs,
+        "n_docs": args.docs, "level_n": lo, "level_4n": hi,
         "elapsed_sec_local8": best8,
         "elapsed_sec_local32": best32,
         "docs_per_sec_local8": round(dps8, 1),
@@ -100,20 +103,22 @@ def main() -> None:
     print(json.dumps(summary), flush=True)
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    stage8 = results[8][-1].get("stage_sec", {})
-    stage32 = results[32][-1].get("stage_sec", {})
+    stage8 = results[lo][-1].get("stage_sec", {})
+    stage32 = results[hi][-1].get("stage_sec", {})
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
         fh.write(
             f"""# BENCH/BASELINE — two-cluster-size scaling protocol
 
 Identical ER pipeline job (`jobs/run_pipeline.py`) on identical input
 ({args.docs:,} deterministic synthetic pages, seed=42, pre-materialized
-parquet), fresh JVM per run, shuffle partitions = cores.
+parquet), fresh JVM per run, shuffle partitions = cores, best of
+{args.repeat} repeat(s) per level (the sandbox host carries external
+load — see the raw runs).
 
 | level | cores | elapsed (s) | docs/sec |
 |---|---|---|---|
-| N  | local[8]  | {best8:.1f} | {dps8:.1f} |
-| 4N | local[32] | {best32:.1f} | {dps32:.1f} |
+| N  | local[{lo}]  | {best8:.1f} | {dps8:.1f} |
+| 4N | local[{hi}] | {best32:.1f} | {dps32:.1f} |
 
 **Scaling efficiency (T_N / T_4N) / 4 = {eff:.3f}** (target ≥ 0.8).
 
