@@ -48,6 +48,10 @@ def get_spark(
         # heap for all of them (32 tasks × join hash maps + Arrow buffers)
         .config("spark.driver.memory", os.environ.get("CCER_DRIVER_MEM", "64g"))
         .config("spark.ui.enabled", "false")
+        # shuffle spill files on tmpfs: N concurrent shuffle writers on a
+        # virtualized disk degrade with parallelism (random-write thrash);
+        # on a real cluster this is the executors' local NVMe
+        .config("spark.local.dir", os.environ.get("CCER_LOCAL_DIR", "/dev/shm/ccer-spark"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
     for key, value in (extra_conf or {}).items():

@@ -62,7 +62,9 @@ def main() -> None:
     audit(
         "filtered_scan_pushdown",
         dq.q_filtered_scan_pushdown(spark, sf_dir),
-        must_contain=["PushedFilters: [IsNotNull(l_shipdate)", "WholeStageCodegen"],
+        # "* Filter" = the operator runs inside whole-stage codegen
+        # (formatted mode marks codegen'd operators with an asterisk)
+        must_contain=["PushedFilters: [IsNotNull(l_shipdate)", "* Filter"],
         must_not_contain=["BroadcastNestedLoopJoin"],
     )
     # 2. dimension joins broadcast

@@ -36,6 +36,15 @@ def prepare_corpus(n_docs: int, path: str) -> None:
 
 def run_level(cores: int, corpus: str, workdir: str) -> dict:
     shutil.rmtree(workdir, ignore_errors=True)
+    # level fairness: flush writeback from the previous run so the second
+    # level doesn't compete with the first level's dirty pages
+    subprocess.run(["sync"], check=False)
+    try:
+        with open("/proc/sys/vm/drop_caches", "w") as fh:
+            fh.write("3\n")
+    except OSError:
+        pass
+    time.sleep(5)
     env = dict(os.environ)
     t0 = time.time()
     out = subprocess.run(
