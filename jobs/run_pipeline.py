@@ -31,11 +31,19 @@ def main() -> None:
     parser.add_argument("--resume", action="store_true")
     parser.add_argument("--cores", type=int, default=None)
     parser.add_argument("--block-cap", type=int, default=500)
+    parser.add_argument("--config", default=None, help="YAML config (ccer.config.CcerConfig)")
     args = parser.parse_args()
 
     from ccer.plans.pipeline import PipelineConfig, run_pipeline
     from ccer.session import get_spark
     from ccer.sources.pages import synthesize_pages
+
+    if args.config:
+        from ccer.config import CcerConfig
+
+        pipeline_config = CcerConfig.from_yaml(args.config).pipeline_config()
+    else:
+        pipeline_config = PipelineConfig(block_cap=args.block_cap)
 
     spark = get_spark(app_name="ccer-pipeline", cores=args.cores)
     t0 = time.time()
@@ -52,7 +60,7 @@ def main() -> None:
         spark,
         pages,
         args.workdir,
-        config=PipelineConfig(block_cap=args.block_cap),
+        config=pipeline_config,
         resume=args.resume,
     )
     n_rows = clusters.count()
