@@ -62,4 +62,13 @@ class CcerConfig:
             block_cap=self.block_cap,
             passes=self.blocking_passes,
             scoring=self.scoring_config(),
+            hamming_prefilter=self.hamming_prefilter,
         )
+
+    def apply_column_mapping(self, df):
+        """Rename input columns per ``column_mapping`` ({source: target})
+        so arbitrarily-named page tables fit the pipeline's schema."""
+        for src, dst in (self.column_mapping or {}).items():
+            if src in df.columns:
+                df = df.withColumnRenamed(src, dst)
+        return df

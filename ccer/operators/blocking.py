@@ -48,7 +48,18 @@ def block_keys(
     simhash_rotations=(0, 21, 43),
     num_perm: int = 128,
 ) -> DataFrame:
-    """features → (block_key long, pass_id int, id long, simhash long)."""
+    """features → (block_key long, pass_id int, id long, simhash long).
+
+    ``num_perm`` must match the signature length produced by the features
+    pass and be a multiple of ``minhash_bands`` — otherwise band slices
+    would run past the signature end (empty-array band keys collapse
+    every record into one degenerate mega-block per band).
+    """
+    if num_perm % minhash_bands != 0:
+        raise ValueError(
+            f"num_perm ({num_perm}) must be a multiple of "
+            f"minhash_bands ({minhash_bands})"
+        )
     rows_per_band = num_perm // minhash_bands
     parts = []
     base = features.select("id", "simhash", "sig", "url_norm", "host")

@@ -346,12 +346,14 @@ def q_ordered_export(spark, sf_dir):
     captured as an explicit rank column so the order-insensitive hash
     still verifies it."""
     docs = _t(spark, sf_dir, "documents")
+    # distributed top-k first (TakeOrderedAndProject — per-partition heaps,
+    # no exchange-to-1-partition), then rank only the 100 survivors; a bare
+    # global window here would pull the whole table through one task
+    top = docs.select("doc_id", "lang", "source").orderBy(
+        "lang", "source", "doc_id"
+    ).limit(100)
     w = Window.orderBy("lang", "source", "doc_id")
-    return (
-        docs.select("doc_id", "lang", "source")
-        .withColumn("export_rank", F.row_number().over(w))
-        .filter(F.col("export_rank") <= 100)
-    )
+    return top.withColumn("export_rank", F.row_number().over(w))
 
 
 SQL_ORDERED_EXPORT = """
@@ -587,12 +589,14 @@ WITH g AS (
   FROM events WHERE user_id < 50
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), s AS (
-  SELECT *, sum(new_session) OVER (
+  -- CAST: DuckDB sum(INT) OVER returns HUGEINT, which the driver's value
+  -- normalizer stringifies differently from Spark's BIGINT
+  SELECT *, CAST(sum(new_session) OVER (
     PARTITION BY user_id ORDER BY ts, event_id
-    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
   FROM g
 )
-SELECT user_id, session_idx, count(*) AS n_events,
+SELECT user_id, session_idx, CAST(count(*) AS BIGINT) AS n_events,
        round(sum(value), 2) AS session_value
 FROM s GROUP BY user_id, session_idx
 """
@@ -945,8 +949,10 @@ def q_token_counts(spark, sf_dir):
 
 SQL_TOKEN_COUNTS = r"""
 SELECT source,
-       sum(len(regexp_split_to_array(text, '\s+'))) AS total_ws_tokens,
-       sum(len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]+|[^A-Za-z0-9\s]')))
+       CAST(sum(len(regexp_split_to_array(text, '\s+'))) AS BIGINT)
+         AS total_ws_tokens,
+       CAST(sum(len(regexp_extract_all(
+             text, '[A-Za-z]{1,4}|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT)
          AS total_subwords
 FROM documents GROUP BY source
 """

@@ -113,8 +113,8 @@ def process_file(
                 "discovered_work_id", "discovered_doi"
             ).dropDuplicates(),
         )
-        if ent_discovered.rdd.isEmpty():
-            ent_discovered = None
+        # an empty ent_discovered unions harmlessly in combine — no
+        # driver-side emptiness action (it would execute this branch twice)
 
     # 8-9. combine + counts
     combined = combine_discovered_works(aff_discovered, ent_discovered)

@@ -41,7 +41,13 @@ class PipelineConfig:
         salt_bits_max: int = 12,
         passes=("url", "host", "minhash", "simhash"),
         scoring: ScoringConfig | None = None,
+        hamming_prefilter: int | None = 26,
     ):
+        if num_perm % minhash_bands != 0:
+            raise ValueError(
+                f"num_perm ({num_perm}) must be a multiple of "
+                f"minhash_bands ({minhash_bands})"
+            )
         self.num_perm = num_perm
         self.minhash_bands = minhash_bands
         self.shingle_k = shingle_k
@@ -51,6 +57,18 @@ class PipelineConfig:
         self.salt_bits_max = salt_bits_max
         self.passes = passes
         self.scoring = scoring or ScoringConfig()
+        self.hamming_prefilter = hamming_prefilter
+
+    def fingerprint(self) -> str:
+        """Stable digest of every knob that changes stage contents — stored
+        in the checkpoint manifest so resume never reuses a stage computed
+        under a different configuration."""
+        import hashlib
+
+        own = {k: v for k, v in vars(self).items() if k != "scoring"}
+        own["scoring"] = dict(sorted(vars(self.scoring).items()))
+        payload = repr(sorted(own.items(), key=lambda kv: kv[0]))
+        return hashlib.sha256(payload.encode()).hexdigest()[:16]
 
 
 def run_pipeline(
@@ -63,7 +81,7 @@ def run_pipeline(
     """Run (or resume) the full ER pipeline; returns the clusters table
     (rid, id, url, warc_ts, lang, cluster_id, ...)."""
     cfg = config or PipelineConfig()
-    store = StageStore(spark, workdir)
+    store = StageStore(spark, workdir, fingerprint=cfg.fingerprint())
     if not resume:
         store.invalidate_from("features", STAGE_ORDER)
 
@@ -84,13 +102,21 @@ def run_pipeline(
     blocks = stage(
         "blocks",
         lambda: salt_oversized_blocks(
-            block_keys(features, passes=cfg.passes, minhash_bands=cfg.minhash_bands),
+            block_keys(
+                features,
+                passes=cfg.passes,
+                minhash_bands=cfg.minhash_bands,
+                num_perm=cfg.num_perm,
+            ),
             block_cap=cfg.block_cap,
             weak_pass_caps=cfg.weak_pass_caps,
             salt_bits_max=cfg.salt_bits_max,
         ),
     )
-    pairs = stage("pairs", lambda: candidate_pairs(blocks))
+    pairs = stage(
+        "pairs",
+        lambda: candidate_pairs(blocks, hamming_prefilter=cfg.hamming_prefilter),
+    )
     edges = stage(
         "edges", lambda: match_edges(score_pairs(pairs, features, cfg.scoring))
     )

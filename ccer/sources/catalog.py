@@ -10,9 +10,17 @@ stage is resumable").
 
 In this sandbox no Iceberg jar is on the classpath, so the store degrades
 to parquet directories + a JSON manifest with an identical API; on a real
-cluster, ``table_format="iceberg"`` writes ``writeTo(...).createOrReplace()``
-with a bucket(N, id) partition spec instead. Lineage rows (per-partition
-counts + wall time) land next to each stage.
+cluster, ``table_format="iceberg"`` writes ``writeTo(...).partitionedBy(
+bucket(N, id)).createOrReplace()`` so every stage lands bucketed on ``id``
+and the downstream self-joins read co-located buckets. Lineage rows
+(per-partition counts + wall time) land next to each stage.
+
+Resume safety: the manifest records a ``fingerprint`` per stage (caller-
+supplied config/input digest). ``exists`` requires (a) the manifest entry,
+(b) the stage data to still be present on disk / in the catalog, and
+(c) the fingerprint to match when the caller supplies one — so editing the
+config or swapping the input invalidates stale checkpoints instead of
+silently reusing them.
 """
 
 from __future__ import annotations
@@ -25,7 +33,14 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 class StageStore:
-    def __init__(self, spark: SparkSession, base_dir: str, table_format: str = "auto"):
+    def __init__(
+        self,
+        spark: SparkSession,
+        base_dir: str,
+        table_format: str = "auto",
+        fingerprint: str | None = None,
+        bucket_count: int = 64,
+    ):
         self.spark = spark
         self.base_dir = base_dir
         os.makedirs(base_dir, exist_ok=True)
@@ -33,6 +48,8 @@ class StageStore:
         if table_format == "auto":
             table_format = "iceberg" if self._iceberg_available() else "parquet"
         self.table_format = table_format
+        self.fingerprint = fingerprint
+        self.bucket_count = bucket_count
 
     def _iceberg_available(self) -> bool:
         try:
@@ -56,30 +73,50 @@ class StageStore:
         os.replace(tmp, self.manifest_path)
 
     def completed_stages(self) -> list[str]:
-        return [
-            name
-            for name, meta in self._load_manifest()["stages"].items()
-            if meta.get("complete")
-        ]
+        return [name for name in self._load_manifest()["stages"] if self.exists(name)]
 
     # --------------------------------------------------------------- stages
     def path(self, name: str) -> str:
         return os.path.join(self.base_dir, name)
 
+    def _data_present(self, name: str) -> bool:
+        if self.table_format == "iceberg":
+            try:
+                return self.spark.catalog.tableExists(f"ccer.{name}")
+            except Exception:
+                return False
+        # parquet: the directory must exist and hold a _SUCCESS marker
+        # (a killed write leaves part files without one)
+        return os.path.exists(os.path.join(self.path(name), "_SUCCESS"))
+
     def exists(self, name: str) -> bool:
-        return self._load_manifest()["stages"].get(name, {}).get("complete", False)
+        meta = self._load_manifest()["stages"].get(name, {})
+        if not meta.get("complete", False):
+            return False
+        if not self._data_present(name):
+            return False
+        if self.fingerprint is not None and meta.get("fingerprint") != self.fingerprint:
+            return False
+        return True
 
     def write(self, df: DataFrame, name: str, partition_by: list[str] | None = None) -> DataFrame:
         """Materialize a stage; records lineage (row count, per-partition
         counts, duration) and marks it complete in the manifest. Returns
         the re-read DataFrame so downstream plans start from the scan."""
         start = time.time()
-        writer = df.write.mode("overwrite")
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
         if self.table_format == "iceberg":
-            df.writeTo(f"ccer.{name}").createOrReplace()
+            writer = df.writeTo(f"ccer.{name}")
+            if partition_by:
+                writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
+            elif "id" in df.columns:
+                # bucket on the join/shuffle key so stage reads are
+                # co-located for the downstream self-joins
+                writer = writer.partitionedBy(F.bucket(self.bucket_count, F.col("id")))
+            writer.createOrReplace()
         else:
+            writer = df.write.mode("overwrite")
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
             writer.parquet(self.path(name))
         out = self.read(name)
         per_partition = [
@@ -96,6 +133,7 @@ class StageStore:
             "n_partitions": len(per_partition),
             "duration_sec": round(time.time() - start, 3),
             "format": self.table_format,
+            "fingerprint": self.fingerprint,
             "finished_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         }
         self._save_manifest(manifest)

@@ -38,10 +38,12 @@ def main() -> None:
     from ccer.session import get_spark
     from ccer.sources.pages import synthesize_pages
 
+    ccer_cfg = None
     if args.config:
         from ccer.config import CcerConfig
 
-        pipeline_config = CcerConfig.from_yaml(args.config).pipeline_config()
+        ccer_cfg = CcerConfig.from_yaml(args.config)
+        pipeline_config = ccer_cfg.pipeline_config()
     else:
         pipeline_config = PipelineConfig(block_cap=args.block_cap)
 
@@ -55,6 +57,8 @@ def main() -> None:
         pages = spark.read.table(args.input.split(":", 1)[1])
     else:
         pages = spark.read.parquet(args.input)
+    if ccer_cfg is not None:
+        pages = ccer_cfg.apply_column_mapping(pages)
 
     clusters = run_pipeline(
         spark,
