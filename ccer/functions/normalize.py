@@ -53,6 +53,31 @@ _FOLD_TABLE = str.maketrans(
         "ƿ": "w",
         "Ȝ": "G",
         "ȝ": "g",
+        # Greek (reference's unidecode transliterates these too when its
+        # one-latin-char gate passes, utils.py:9-26 — mixed-script
+        # affiliations must not silently lose their Greek/Cyrillic runs)
+        "α": "a", "β": "b", "γ": "g", "δ": "d", "ε": "e", "ζ": "z",
+        "η": "e", "θ": "th", "ι": "i", "κ": "k", "λ": "l", "μ": "m",
+        "ν": "n", "ξ": "x", "ο": "o", "π": "p", "ρ": "r", "ς": "s",
+        "σ": "s", "τ": "t", "υ": "u", "φ": "ph", "χ": "kh", "ψ": "ps",
+        "ω": "o",
+        "Α": "A", "Β": "B", "Γ": "G", "Δ": "D", "Ε": "E", "Ζ": "Z",
+        "Η": "E", "Θ": "Th", "Ι": "I", "Κ": "K", "Λ": "L", "Μ": "M",
+        "Ν": "N", "Ξ": "X", "Ο": "O", "Π": "P", "Ρ": "R", "Σ": "S",
+        "Τ": "T", "Υ": "U", "Φ": "Ph", "Χ": "Kh", "Ψ": "Ps", "Ω": "O",
+        # Cyrillic (GOST-style, unidecode's convention)
+        "а": "a", "б": "b", "в": "v", "г": "g", "д": "d", "е": "e",
+        "ж": "zh", "з": "z", "и": "i", "й": "i", "к": "k", "л": "l",
+        "м": "m", "н": "n", "о": "o", "п": "p", "р": "r", "с": "s",
+        "т": "t", "у": "u", "ф": "f", "х": "kh", "ц": "ts", "ч": "ch",
+        "ш": "sh", "щ": "shch", "ъ": "'", "ы": "y", "ь": "'", "э": "e",
+        "ю": "iu", "я": "ia",
+        "А": "A", "Б": "B", "В": "V", "Г": "G", "Д": "D", "Е": "E",
+        "Ж": "Zh", "З": "Z", "И": "I", "Й": "I", "К": "K", "Л": "L",
+        "М": "M", "Н": "N", "О": "O", "П": "P", "Р": "R", "С": "S",
+        "Т": "T", "У": "U", "Ф": "F", "Х": "Kh", "Ц": "Ts", "Ч": "Ch",
+        "Ш": "Sh", "Щ": "Shch", "Ъ": "'", "Ы": "Y", "Ь": "'", "Э": "E",
+        "Ю": "Iu", "Я": "Ia",
     }
 )
 
@@ -63,14 +88,17 @@ _WS_RE = re.compile(r"\s+")
 def ascii_fold(text: str) -> str:
     """Deterministic ASCII transliteration (our unidecode stand-in).
 
-    NFKD-decompose, drop combining marks, apply the fold table, then drop
-    any remaining non-ASCII codepoints.
+    NFKD-decompose FIRST (so precomposed Greek/Cyrillic — ά, ё — reduce
+    to base letter + combining mark), then apply the fold table to the
+    base letters, then drop remaining non-ASCII codepoints (combining
+    marks, CJK — CJK pinyin transliteration is deliberately out of scope;
+    the reference's unidecode romanizes it, documented divergence).
     """
     if not text:
         return text
-    text = text.translate(_FOLD_TABLE)
     decomposed = unicodedata.normalize("NFKD", text)
-    return decomposed.encode("ascii", "ignore").decode("ascii")
+    translated = decomposed.translate(_FOLD_TABLE)
+    return translated.encode("ascii", "ignore").decode("ascii")
 
 
 def is_latin_char_text(text) -> bool:

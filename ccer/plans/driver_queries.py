@@ -534,6 +534,73 @@ FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 
+def q_grouping_sets_agg(spark, sf_dir):
+    """GROUPING SETS with grouping() disambiguation markers (SURVEY §2.4
+    note: free in Spark SQL — one Expand node, single shuffle)."""
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events_gs")
+    return spark.sql(
+        """
+        WITH e AS (
+          SELECT event_type, CAST(user_id % 10 AS BIGINT) AS user_bucket, value
+          FROM events_gs
+        )
+        SELECT event_type, user_bucket,
+               CAST(grouping(event_type) AS INT) AS g_type,
+               CAST(grouping(user_bucket) AS INT) AS g_bucket,
+               count(*) AS n, round(sum(value), 2) AS total
+        FROM e GROUP BY GROUPING SETS ((event_type), (user_bucket), ())
+        """
+    )
+
+
+SQL_GROUPING_SETS = """
+WITH e AS (
+  SELECT event_type, CAST(user_id % 10 AS BIGINT) AS user_bucket, value
+  FROM events
+)
+SELECT event_type, user_bucket,
+       CAST(grouping(event_type) AS INT) AS g_type,
+       CAST(grouping(user_bucket) AS INT) AS g_bucket,
+       CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS total
+FROM e GROUP BY GROUPING SETS ((event_type), (user_bucket), ())
+"""
+
+
+def q_intersect_channels(spark, sf_dir):
+    """INTERSECT (set semantics): users active in BOTH channels
+    (SURVEY §2.7 set-op row)."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return clicks.intersect(purchases)
+
+
+SQL_INTERSECT = """
+SELECT user_id FROM events WHERE event_type = 'click'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'purchase'
+"""
+
+
+def q_except_channels(spark, sf_dir):
+    """EXCEPT (set semantics): purchasers outside the low-id click
+    cohort — the set-difference twin of q_intersect_channels (the id
+    bound keeps the difference non-empty on the synthetic events)."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    cohort = ev.filter(
+        (F.col("event_type") == "click") & (F.col("user_id") < 100)
+    ).select("user_id")
+    return purchases.subtract(cohort)
+
+
+SQL_EXCEPT = """
+SELECT user_id FROM events WHERE event_type = 'purchase'
+EXCEPT
+SELECT user_id FROM events WHERE event_type = 'click' AND user_id < 100
+"""
+
+
 def q_running_window(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -864,6 +931,183 @@ def q_ann_topk_lsh(spark, sf_dir):
     return lsh_topk(corpus, queries, k=5)
 
 
+# ---------------------------------------------------------------------
+# LSH verification queries: derived checks that ARE SQL-expressible, so
+# the non-SQL LSH operators get a hard oracle gate alongside their
+# rows-only originals. Each is an equality check, not a statistic: if
+# the LSH path drops one pair the value hash mismatches.
+# ---------------------------------------------------------------------
+
+def _shingle_set(text_col):
+    """3-word shingle set of the normalized text — JVM column algebra
+    mirroring functions/normalize.py word_shingles (k=3) so DuckDB can
+    replicate it (both engines use ASCII \\w)."""
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(text_col), r"[^\w\s]", "")), r"\s+"
+    )
+    return F.array_distinct(
+        F.when(F.size(toks) < 3, F.array(F.array_join(toks, " "))).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(toks, i),
+                    F.element_at(toks, i + 1),
+                    F.element_at(toks, i + 2),
+                ),
+            )
+        )
+    )
+
+
+def q_minhash_neardup_recall(spark, sf_dir):
+    """Recall-equality gate for MinHash-LSH banding: every pair with TRUE
+    shingle-Jaccard ≥ 0.9 must be surfaced as a band-bucket candidate
+    (banding miss probability at J=0.9 with 32 bands × 4 rows is
+    (1-0.9^4)^32 ≈ 2e-15). Output = exact near-dup pairs semi-joined
+    against the LSH candidate set; oracle = the exact pair set — equal
+    iff banding recall is exactly 1.0. The bounded cross join is the
+    correctness baseline, not a scale path (doc_id < 600)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 600)
+    t = docs.select(F.col("doc_id").alias("id"), _shingle_set(F.col("text")).alias("sh"))
+    a = t.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = t.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
+    exact = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= 0.9)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    candidates = minhash_neardup_pairs(docs, est_threshold=0.0).select("id_a", "id_b")
+    return exact.join(candidates, ["id_a", "id_b"], "left_semi")
+
+
+SQL_MINHASH_RECALL = r"""
+WITH t AS (
+  SELECT doc_id AS id,
+         regexp_split_to_array(
+           trim(regexp_replace(lower(text), '[^\w\s]', '', 'g')), '\s+') AS toks
+  FROM documents WHERE doc_id < 600
+), s AS (
+  SELECT id, list_distinct(
+    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         ELSE list_transform(range(1, len(toks) - 1),
+                             i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+    END) AS sh
+  FROM t
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+FROM s a JOIN s b ON a.id < b.id
+WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.9
+"""
+
+
+def q_simhash_neardup_verified(spark, sf_dir):
+    """Structural gate for SimHash bucketing: plant one byte-identical
+    copy of every document (doc_id + 100000); identical text ⇒ identical
+    fingerprint ⇒ identical rotated-prefix buckets, so every planted pair
+    MUST be found at Hamming 0. Output = hamming-0 candidates restricted
+    to byte-equal texts; oracle = the planted pair list."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000).select(
+        "doc_id", "text"
+    )
+    copies = docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    both = docs.unionByName(copies)
+    pairs = simhash_neardup_pairs(both, max_hamming=0)
+    ta = both.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
+    tb = both.select(F.col("doc_id").alias("id_b"), F.col("text").alias("text_b"))
+    return (
+        pairs.join(ta, "id_a")
+        .join(tb, "id_b")
+        .filter(F.col("text_a") == F.col("text_b"))
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+SQL_SIMHASH_VERIFIED = """
+SELECT CAST(doc_id AS BIGINT) AS id_a,
+       CAST(doc_id + 100000 AS BIGINT) AS id_b,
+       0 AS hamming
+FROM documents WHERE doc_id < 2000
+"""
+
+
+def q_embedding_neardup_lsh_verified(spark, sf_dir):
+    """Structural gate for hyperplane LSH: plant one exact copy of every
+    vector (vec_id + 100000); identical vectors land in the same bucket
+    in every rotation, so every planted pair (cosine 1.0) MUST be found.
+    Oracle = exhaustive DuckDB cosine pairs ≥ 0.99 over the same planted
+    union — equal iff LSH recall on them is exactly 1.0."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copies = emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    both = emb.unionByName(copies)
+    return embedding_neardup_pairs(both, threshold=0.99, n_planes=6, n_rotations=4)
+
+
+SQL_EMBEDDING_LSH_VERIFIED = """
+WITH u AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+FROM u a JOIN u b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.99
+"""
+
+
+def q_ann_topk_lsh_verified(spark, sf_dir):
+    """Structural gate for LSH top-k: plant 5 exact replicas of each
+    query vector in the corpus (ids 100000 + q*10 + j). The true top-5
+    per query is exactly its replicas (cosine 1.0, ties broken by
+    neighbor id); identical vectors share every LSH bucket, so lsh_topk
+    must return precisely that ranking. Oracle = exhaustive SQL top-k
+    over the same planted corpus."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = emb.filter(F.col("vec_id") < 1500)
+    queries = emb.filter(F.col("vec_id") < 15)
+    reps = queries.select(
+        "vec_id", "embedding", F.explode(F.sequence(F.lit(0), F.lit(4))).alias("j")
+    ).select(
+        (F.lit(100000) + F.col("vec_id") * 10 + F.col("j")).alias("vec_id"),
+        "embedding",
+    )
+    return lsh_topk(corpus.unionByName(reps), queries, k=5)
+
+
+SQL_ANN_LSH_VERIFIED = """
+WITH rep AS (
+  SELECT 100000 + q.vec_id * 10 + t.j AS vec_id, q.embedding
+  FROM embeddings q CROSS JOIN range(5) t(j)
+  WHERE q.vec_id < 15
+), u AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 1500
+  UNION ALL SELECT vec_id, embedding FROM rep
+), scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                CAST(c.embedding AS DOUBLE[])) AS raw_cos
+  FROM embeddings q JOIN u c ON q.vec_id < 15 AND q.vec_id != c.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, raw_cos,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY raw_cos DESC, neighbor_id
+         ) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(raw_cos, 6) AS cosine, rank
+FROM ranked WHERE rank <= 5
+"""
+
+
 def q_lang_id(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return detect_language(docs).groupBy("lang_pred").agg(
@@ -1075,14 +1319,118 @@ def q_er_cluster_documents(spark, sf_dir):
 
 
 def q_blocking_keys(spark, sf_dir):
+    """Per-pass blocking profile with an arithmetic oracle.
+
+    The url/host pass row- and distinct-key counts are fully derivable in
+    SQL (url_norm collapses each doc's base page and its utm-decorated
+    variant onto one key; host = one key per source); the hash passes
+    (minhash bands × 32, simhash rotations × 3) have SQL-derivable row
+    counts and no SQL-expressible key values (distinct count NULL on
+    both sides)."""
     from ccer.operators.blocking import block_keys
     from ccer.operators.features import extract_features
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
     feats = extract_features(pages_from_documents(docs))
-    return block_keys(feats).groupBy("block_key").agg(
-        F.count(F.lit(1)).alias("n_rows")
-    ).filter(F.col("n_rows") > 1)
+    prof = block_keys(feats).groupBy("pass_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("block_key").alias("_nd"),
+    )
+    return prof.select(
+        "pass_id",
+        "n_rows",
+        F.when(F.col("pass_id").isin(1, 2), F.col("_nd"))
+        .cast("long")
+        .alias("n_distinct_keys"),
+    )
+
+
+SQL_BLOCKING_KEYS = """
+WITH d AS (
+  SELECT count(*) AS n_docs,
+         count(*) FILTER (WHERE doc_id % 3 = 0) AS n_var,
+         count(DISTINCT source) AS n_hosts
+  FROM documents WHERE doc_id < 500
+), p AS (SELECT n_docs + n_var AS n_pages, n_docs, n_hosts FROM d)
+SELECT 1 AS pass_id, CAST(n_pages AS BIGINT) AS n_rows,
+       CAST(n_docs AS BIGINT) AS n_distinct_keys FROM p
+UNION ALL
+SELECT 2, CAST(n_pages AS BIGINT), CAST(n_hosts AS BIGINT) FROM p
+UNION ALL
+SELECT 3, CAST(32 * n_pages AS BIGINT), CAST(NULL AS BIGINT) FROM p
+UNION ALL
+SELECT 4, CAST(3 * n_pages AS BIGINT), CAST(NULL AS BIGINT) FROM p
+"""
+
+
+def q_er_cluster_invariants(spark, sf_dir):
+    """SQL-checkable contract over the full ER pipeline output
+    (green-adjacent gate for the non-SQL-expressible flagship):
+
+    - n_pages: every input page appears exactly once in the clusters
+      output (completeness — oracle computes the page count from the
+      documents table arithmetic: base rows + one variant per 3 docs);
+    - n_null_cluster = 0: every record is labeled;
+    - n_variant_groups: each planted utm-variant shares a page key with
+      its base (count = docs with doc_id % 3 == 0, SQL-derivable);
+    - n_split_groups = 0: no base/variant pair is split across clusters
+      (the pairwise-F1-relevant transitivity invariant);
+    - n_label_violations = 0: cluster_id is the minimum member id
+      (large-star/small-star min-label convergence, cluster.py:68-90).
+    """
+    from ccer.operators.blocking import block_keys, candidate_pairs, salt_oversized_blocks
+    from ccer.operators.cluster import assign_clusters, connected_components
+    from ccer.operators.features import extract_features
+    from ccer.operators.scoring import match_edges, score_pairs
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 1500)
+    pages = pages_from_documents(docs)
+    feats = extract_features(pages)
+    blocks = salt_oversized_blocks(block_keys(feats), block_cap=500)
+    pairs = candidate_pairs(blocks)
+    edges = match_edges(score_pairs(pairs, feats))
+    comps = connected_components(edges)
+    clusters = assign_clusters(feats, comps)
+
+    page_key = F.regexp_replace("url", r"\?.*$", "")
+    groups = (
+        clusters.select("id", "cluster_id", page_key.alias("page_key"))
+        .groupBy("page_key")
+        .agg(
+            F.countDistinct("cluster_id").alias("n_cl"),
+            F.count(F.lit(1)).alias("n_m"),
+        )
+        .agg(
+            F.sum(F.when(F.col("n_m") >= 2, 1).otherwise(0)).cast("long").alias("n_variant_groups"),
+            F.sum(F.when(F.col("n_cl") > 1, 1).otherwise(0)).cast("long").alias("n_split_groups"),
+        )
+    )
+    labels = (
+        clusters.groupBy("cluster_id")
+        .agg(F.min("id").alias("min_id"))
+        .agg(
+            F.sum(F.when(F.col("cluster_id") != F.col("min_id"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_label_violations")
+        )
+    )
+    totals = clusters.agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.sum(F.when(F.col("cluster_id").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_null_cluster"),
+    )
+    return totals.crossJoin(groups).crossJoin(labels)
+
+
+SQL_ER_INVARIANTS = """
+SELECT CAST(count(*) + count(*) FILTER (WHERE doc_id % 3 = 0) AS BIGINT) AS n_pages,
+       CAST(0 AS BIGINT) AS n_null_cluster,
+       CAST(count(*) FILTER (WHERE doc_id % 3 = 0) AS BIGINT) AS n_variant_groups,
+       CAST(0 AS BIGINT) AS n_split_groups,
+       CAST(0 AS BIGINT) AS n_label_violations
+FROM documents WHERE doc_id < 1500
+"""
 
 
 # =====================================================================
@@ -1130,13 +1478,23 @@ QUERIES = {
     "embedding_neardup_lsh": q_embedding_neardup_lsh,
     "ann_topk": q_ann_topk,
     "ann_topk_lsh": q_ann_topk_lsh,
+    # LSH verification gates (SQL-oracled equality checks for the above)
+    "minhash_neardup_recall": q_minhash_neardup_recall,
+    "simhash_neardup_verified": q_simhash_neardup_verified,
+    "embedding_neardup_lsh_verified": q_embedding_neardup_lsh_verified,
+    "ann_topk_lsh_verified": q_ann_topk_lsh_verified,
     "lang_id": q_lang_id,
     "quality_scores": q_quality_scores,
     "token_counts": q_token_counts,
     "fingerprint": q_fingerprint,
     "binary_meta": q_binary_meta,
-    # ER pipeline (rows-only)
+    # set ops / grouping sets
+    "grouping_sets_agg": q_grouping_sets_agg,
+    "intersect_channels": q_intersect_channels,
+    "except_channels": q_except_channels,
+    # ER pipeline
     "er_cluster_documents": q_er_cluster_documents,
+    "er_cluster_invariants": q_er_cluster_invariants,
     "blocking_keys": q_blocking_keys,
 }
 
@@ -1179,7 +1537,19 @@ ORACLES = {
     "token_counts": SQL_TOKEN_COUNTS,
     "fingerprint": SQL_FINGERPRINT,
     "binary_meta": SQL_BINARY_META,
-    # no oracle (not SQL-expressible): minhash_neardup, simhash_neardup,
-    # embedding_neardup_lsh, ann_topk_lsh, er_cluster_documents,
-    # blocking_keys
+    # LSH / ER verification gates (derived SQL-expressible equality checks)
+    "minhash_neardup_recall": SQL_MINHASH_RECALL,
+    "simhash_neardup_verified": SQL_SIMHASH_VERIFIED,
+    "embedding_neardup_lsh_verified": SQL_EMBEDDING_LSH_VERIFIED,
+    "ann_topk_lsh_verified": SQL_ANN_LSH_VERIFIED,
+    "er_cluster_invariants": SQL_ER_INVARIANTS,
+    "blocking_keys": SQL_BLOCKING_KEYS,
+    # set ops / grouping sets
+    "grouping_sets_agg": SQL_GROUPING_SETS,
+    "intersect_channels": SQL_INTERSECT,
+    "except_channels": SQL_EXCEPT,
+    # no oracle (raw LSH outputs, not SQL-expressible — each is gated by
+    # its *_verified / *_recall twin above): minhash_neardup,
+    # simhash_neardup, embedding_neardup_lsh, ann_topk_lsh,
+    # er_cluster_documents
 }

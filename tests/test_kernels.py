@@ -66,6 +66,22 @@ def test_ascii_fold():
     assert ascii_fold("ß") == "ss"
 
 
+def test_ascii_fold_greek_cyrillic():
+    # mixed-script affiliations transliterate instead of silently
+    # dropping the non-Latin run (reference unidecode behavior,
+    # utils.py:18-26); goldens pin the table-driven convention
+    assert ascii_fold("Πανεπιστήμιο Αθηνών lab") == "Panepistemio Athenon lab"
+    assert ascii_fold("Московский университет dept") == "Moskovskii universitet dept"
+    assert ascii_fold("άλφα") == "alpha"
+    assert ascii_fold("ёлка Ёж") == "elka Ezh"
+    assert ascii_fold("Ψηφιακή Βιβλιοθήκη") == "Psephiake Bibliotheke"
+    assert ascii_fold("Щёлково") == "Shchelkovo"
+    # CJK stays dropped (documented divergence: no pinyin table)
+    assert ascii_fold("北京大学 CS dept") == " CS dept"
+    assert normalize_text("Τμήμα Φυσικής, ΕΚΠΑ") == "tmema phusikes ekpa"
+    assert normalize_text("МГУ им. Ломоносова") == "mgu im lomonosova"
+
+
 def test_extract_doi_goldens():
     assert extract_doi("https://doi.org/10.1234/abc.def") == "10.1234/abc.def"
     assert extract_doi("DOI:10.5555/xyz?utm=1") == "10.5555/xyz"
