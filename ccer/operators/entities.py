@@ -53,25 +53,38 @@ class _HeuristicOrgModel:
         return out
 
 
-_MODEL = None
+_MODEL_CACHE: dict = {}
 
 
-def _get_model():
-    global _MODEL
-    if _MODEL is None:
-        _MODEL = _HeuristicOrgModel()
-    return _MODEL
+def _get_model(model_factory=None):
+    """Per-executor model cache, keyed by factory identity. A
+    ``model_factory`` is any zero-arg callable returning an object with
+    ``predict_batch(list[str]) -> list[list[str]]`` — e.g. a module-level
+    function loading a Flair/torch SequenceTagger (reference
+    entity_extraction.py:5-20 module-level load) — so a real model drops
+    in without code edits. Default is the deterministic heuristic. The
+    cache key uses the factory's module+qualname so re-pickled task
+    closures reuse the already-loaded model in the executor process."""
+    factory = model_factory or _HeuristicOrgModel
+    key = (getattr(factory, "__module__", ""), getattr(factory, "__qualname__", repr(factory)))
+    if key not in _MODEL_CACHE:
+        _MODEL_CACHE[key] = factory()
+    return _MODEL_CACHE[key]
 
 
 ENTITY_SCHEMA = "source_text string, entity string"
 
 
-def extract_org_entities(df: DataFrame, text_col: str) -> DataFrame:
+def extract_org_entities(df: DataFrame, text_col: str, model_factory=None) -> DataFrame:
     """(… text_col …) → (source_text, entity) rows, one per extracted ORG
-    span — Arrow-batched, model cached per executor process."""
+    span — Arrow-batched, model cached per executor process.
+
+    ``model_factory``: optional pluggable NER backend (see _get_model);
+    must be picklable (a module-level function / functools.partial), as
+    it ships to executors inside the Arrow task closure."""
 
     def gen(iterator):
-        model = _get_model()
+        model = _get_model(model_factory)
         for pdf in iterator:
             texts = pdf[text_col].fillna("").tolist()
             spans = model.predict_batch(texts)

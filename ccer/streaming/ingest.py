@@ -39,14 +39,24 @@ def incremental_update(
     new_pages: DataFrame,
     config: ScoringConfig | None = None,
     block_cap: int = 500,
-) -> tuple[DataFrame, DataFrame, DataFrame]:
+    prior_blocks: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
     """Advance the clustering by one batch of pages.
 
-    Returns (features_all, components_all, clusters_all).
+    Returns (features_all, blocks_raw_all, components_all, clusters_all).
 
-    Only pairs with ≥1 new-side record are scored: new block rows join
-    against ALL block rows (old ∪ new) — an equi-join whose left side is
-    just the batch.
+    Per-batch work that scales with the BATCH, not the corpus: feature
+    extraction (Arrow pass) and block-key derivation (band explosion)
+    run on the new records only — pass the returned ``blocks_raw_all``
+    back in as ``prior_blocks`` and old records' keys are reused, never
+    recomputed (in the checkpointed pipeline this is the persisted
+    ``blocks`` stage). Per-batch work that necessarily touches the
+    corpus: the block-size profile behind skew salting (one map-side-
+    combinable count over 8-byte keys) and the pair join's build side —
+    both key-only shuffles, no signature or text movement. Only pairs
+    with ≥1 new-side record are scored: new block rows join against ALL
+    block rows (old ∪ new) — an equi-join whose probe side is just the
+    batch.
     """
     feats_new = extract_features(new_pages)
     if prior_features is None:
@@ -54,7 +64,12 @@ def incremental_update(
     else:
         feats_all = prior_features.unionByName(feats_new)
 
-    blocks_all = salt_oversized_blocks(block_keys(feats_all), block_cap=block_cap)
+    blocks_new_raw = block_keys(feats_new)
+    if prior_blocks is not None:
+        blocks_raw_all = prior_blocks.unionByName(blocks_new_raw)
+    else:
+        blocks_raw_all = block_keys(feats_all) if prior_features is not None else blocks_new_raw
+    blocks_all = salt_oversized_blocks(blocks_raw_all, block_cap=block_cap)
     new_ids = feats_new.select("id").distinct()
     blocks_new = blocks_all.join(new_ids, "id", "left_semi")
 
@@ -79,7 +94,7 @@ def incremental_update(
         all_edges = new_edges
     components = connected_components(all_edges)
     clusters = assign_clusters(feats_all, components)
-    return feats_all, components, clusters
+    return feats_all, blocks_raw_all, components, clusters
 
 
 def stream_ingest(

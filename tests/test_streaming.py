@@ -26,10 +26,13 @@ def test_incremental_equals_batch(spark):
     # two-increment run over the same rows (split by hash for stability)
     p1 = pages.filter(F.xxhash64("url") % 2 == 0)
     p2 = pages.subtract(p1)
-    f1, c1, _ = incremental_update(spark, None, None, p1)
+    f1, b1, c1, _ = incremental_update(spark, None, None, p1)
     f1 = f1.localCheckpoint(eager=True)
+    b1 = b1.localCheckpoint(eager=True)
     c1 = c1.localCheckpoint(eager=True)
-    _, _, inc_clusters = incremental_update(spark, f1, c1, p2)
+    # prior block rows passed back in: old records' keys are reused,
+    # not recomputed (per-batch blocking work scales with the batch)
+    _, _, _, inc_clusters = incremental_update(spark, f1, c1, p2, prior_blocks=b1)
     inc_map = {r["rid"]: r["cluster_id"] for r in inc_clusters.collect()}
     assert inc_map == batch_map
     pages.unpersist()

@@ -27,6 +27,30 @@ def test_entity_extraction_heuristic(spark):
     assert spans == spans2
 
 
+def test_entity_extraction_pluggable_model(spark):
+    # factory defined as a closure: cloudpickle ships it by value (test
+    # modules aren't importable on executors); fake backend returns the
+    # uppercased first word — distinguishable from the heuristic, so the
+    # test proves the injected factory is actually used
+    class UpperFirstWordModel:
+        def predict_batch(self, texts):
+            return [[t.split()[0].upper()] if t else [] for t in texts]
+
+    def upper_first_word_factory():
+        return UpperFirstWordModel()
+
+    df = spark.createDataFrame(
+        [("department of biology",), ("quick brown fox",)],
+        "affiliation string",
+    )
+    ents = extract_org_entities(df, "affiliation", model_factory=upper_first_word_factory)
+    spans = {r["entity"] for r in ents.collect()}
+    assert spans == {"DEPARTMENT", "QUICK"}
+    # default heuristic path is unchanged
+    heur = {r["entity"] for r in extract_org_entities(df, "affiliation").collect()}
+    assert "DEPARTMENT" not in heur
+
+
 def test_entity_filter_reference_semantics(spark):
     ents = spark.createDataFrame(
         [
