@@ -85,11 +85,14 @@ def run_pipeline(
     if not resume:
         store.invalidate_from("features", STAGE_ORDER)
 
-    def stage(name: str, compute):
+    def stage(name: str, compute, **write_kwargs):
         if store.exists(name):
             return store.read(name)
-        return store.write(compute(), name)
+        return store.write(compute(), name, **write_kwargs)
 
+    # features is bucketed on id: the scoring stage joins it TWICE (id_a,
+    # id_b) and cluster assignment once more — bucketing pays one shuffle
+    # at write time and deletes the features-side exchange from all three
     features = stage(
         "features",
         lambda: extract_features(
@@ -98,6 +101,7 @@ def run_pipeline(
             shingle_k=cfg.shingle_k,
             text_cap=cfg.text_cap,
         ),
+        bucket_by="id",
     )
     blocks = stage(
         "blocks",

@@ -52,6 +52,12 @@ def get_spark(
         # virtualized disk degrade with parallelism (random-write thrash);
         # on a real cluster this is the executors' local NVMe
         .config("spark.local.dir", os.environ.get("CCER_LOCAL_DIR", "/dev/shm/ccer-spark"))
+        # stage tables are external (explicit path); keep the otherwise-
+        # unused default warehouse out of the repo working directory
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("CCER_WAREHOUSE_DIR", "/tmp/ccer-spark-warehouse"),
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
     for key, value in (extra_conf or {}).items():
@@ -59,3 +65,38 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def task_metrics(spark: SparkSession) -> dict | None:
+    """Aggregate executor task metrics over all completed stages, via the
+    Spark UI REST API (requires spark.ui.enabled=true on the session).
+
+    ``executor_cpu_sec`` is the scheduler-independent measure of work:
+    actual CPU cycles burned by tasks, unaffected by how many cores the
+    host pretends to have — the defensible numerator for scaling-
+    efficiency claims on a shared/throttled machine (BENCH/BASELINE.md).
+    ``executor_run_sec`` / wall = achieved task concurrency.
+    """
+    import json as _json
+    import urllib.request
+
+    ui = spark.sparkContext.uiWebUrl
+    if not ui:
+        return None
+    app_id = spark.sparkContext.applicationId
+    try:
+        with urllib.request.urlopen(
+            f"{ui}/api/v1/applications/{app_id}/stages?status=complete", timeout=30
+        ) as resp:
+            stages = _json.load(resp)
+    except Exception:
+        return None
+    return {
+        "executor_cpu_sec": round(sum(s.get("executorCpuTime", 0) for s in stages) / 1e9, 2),
+        "executor_run_sec": round(sum(s.get("executorRunTime", 0) for s in stages) / 1e3, 2),
+        "jvm_gc_sec": round(sum(s.get("jvmGcTime", 0) for s in stages) / 1e3, 2),
+        "shuffle_read_mb": round(sum(s.get("shuffleReadBytes", 0) for s in stages) / 2**20, 1),
+        "shuffle_write_mb": round(sum(s.get("shuffleWriteBytes", 0) for s in stages) / 2**20, 1),
+        "n_stages": len(stages),
+        "n_tasks": sum(s.get("numCompleteTasks", 0) for s in stages),
+    }

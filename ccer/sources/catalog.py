@@ -25,8 +25,10 @@ silently reusing them.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
+import shutil
 import time
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -79,6 +81,12 @@ class StageStore:
     def path(self, name: str) -> str:
         return os.path.join(self.base_dir, name)
 
+    def _table_name(self, name: str) -> str:
+        """Session-catalog name for a bucketed stage — keyed by workdir so
+        two pipelines in one session never collide."""
+        digest = hashlib.md5(self.base_dir.encode()).hexdigest()[:8]
+        return f"ccer_{name}_{digest}"
+
     def _data_present(self, name: str) -> bool:
         if self.table_format == "iceberg":
             try:
@@ -99,20 +107,52 @@ class StageStore:
             return False
         return True
 
-    def write(self, df: DataFrame, name: str, partition_by: list[str] | None = None) -> DataFrame:
+    def write(
+        self,
+        df: DataFrame,
+        name: str,
+        partition_by: list[str] | None = None,
+        bucket_by: str | None = None,
+    ) -> DataFrame:
         """Materialize a stage; records lineage (row count, per-partition
         counts, duration) and marks it complete in the manifest. Returns
-        the re-read DataFrame so downstream plans start from the scan."""
+        the re-read DataFrame so downstream plans start from the scan.
+
+        ``bucket_by``: hash-bucket the stage on a join key. Downstream
+        equi-joins on that key then read co-located, pre-sorted buckets
+        and skip the stage-side exchange entirely (the heavy features
+        payload — signatures + sketches — is shuffled once at write time
+        instead of once per consuming join). Same-session reads resolve
+        through the catalog table; a resume in a fresh session falls back
+        to the plain parquet path (correct, just unbucketed)."""
         start = time.time()
         if self.table_format == "iceberg":
             writer = df.writeTo(f"ccer.{name}")
             if partition_by:
                 writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
-            elif "id" in df.columns:
+            elif bucket_by or "id" in df.columns:
                 # bucket on the join/shuffle key so stage reads are
                 # co-located for the downstream self-joins
-                writer = writer.partitionedBy(F.bucket(self.bucket_count, F.col("id")))
+                writer = writer.partitionedBy(
+                    F.bucket(self.bucket_count, F.col(bucket_by or "id"))
+                )
             writer.createOrReplace()
+        elif bucket_by:
+            tbl = self._table_name(name)
+            self.spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+            shutil.rmtree(self.path(name), ignore_errors=True)
+            (
+                # one shuffle to bucket layout now; one file per bucket
+                # (repartition first), sorted within — consuming sort-merge
+                # joins skip both their exchange and their sort
+                df.repartition(self.bucket_count, F.col(bucket_by))
+                .write.mode("overwrite")
+                .bucketBy(self.bucket_count, bucket_by)
+                .sortBy(bucket_by)
+                .option("path", self.path(name))
+                .format("parquet")
+                .saveAsTable(tbl)
+            )
         else:
             writer = df.write.mode("overwrite")
             if partition_by:
@@ -134,6 +174,8 @@ class StageStore:
             "duration_sec": round(time.time() - start, 3),
             "format": self.table_format,
             "fingerprint": self.fingerprint,
+            "bucket_by": bucket_by,
+            "bucket_count": self.bucket_count if bucket_by else None,
             "finished_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         }
         self._save_manifest(manifest)
@@ -148,6 +190,27 @@ class StageStore:
     def read(self, name: str) -> DataFrame:
         if self.table_format == "iceberg":
             return self.spark.read.table(f"ccer.{name}")
+        try:
+            tbl = self._table_name(name)
+            if self.spark.catalog.tableExists(tbl):
+                return self.spark.read.table(tbl)
+            meta = self._load_manifest()["stages"].get(name, {})
+            if meta.get("bucket_by"):
+                # resume in a fresh session: re-register the external
+                # bucketed table over the existing files (bucket ids are
+                # encoded in the part-file name suffixes), so resumed
+                # plans keep the exchange-free joins
+                ddl = self.spark.read.parquet(self.path(name)).schema.toDDL()
+                key = meta["bucket_by"]
+                self.spark.sql(
+                    f"CREATE TABLE {tbl} ({ddl}) USING parquet "
+                    f"CLUSTERED BY ({key}) SORTED BY ({key}) "
+                    f"INTO {meta.get('bucket_count') or self.bucket_count} BUCKETS "
+                    f"LOCATION '{self.path(name)}'"
+                )
+                return self.spark.read.table(tbl)
+        except Exception:
+            pass
         return self.spark.read.parquet(self.path(name))
 
     def invalidate_from(self, name: str, order: list[str]) -> None:

@@ -32,10 +32,16 @@ def main() -> None:
     parser.add_argument("--cores", type=int, default=None)
     parser.add_argument("--block-cap", type=int, default=500)
     parser.add_argument("--config", default=None, help="YAML config (ccer.config.CcerConfig)")
+    parser.add_argument(
+        "--metrics",
+        action="store_true",
+        help="enable the Spark UI and report aggregate executor task "
+        "metrics (CPU time, run time, shuffle bytes) in the summary JSON",
+    )
     args = parser.parse_args()
 
     from ccer.plans.pipeline import PipelineConfig, run_pipeline
-    from ccer.session import get_spark
+    from ccer.session import get_spark, task_metrics
     from ccer.sources.pages import synthesize_pages
 
     ccer_cfg = None
@@ -47,7 +53,8 @@ def main() -> None:
     else:
         pipeline_config = PipelineConfig(block_cap=args.block_cap)
 
-    spark = get_spark(app_name="ccer-pipeline", cores=args.cores)
+    extra_conf = {"spark.ui.enabled": "true"} if args.metrics else None
+    spark = get_spark(app_name="ccer-pipeline", cores=args.cores, extra_conf=extra_conf)
     t0 = time.time()
     if args.input.startswith("synth:"):
         pages = synthesize_pages(
@@ -75,17 +82,16 @@ def main() -> None:
     timings = {
         name: meta.get("duration_sec") for name, meta in manifest["stages"].items()
     }
-    print(
-        json.dumps(
-            {
-                "rows": n_rows,
-                "clusters": n_clusters,
-                "elapsed_sec": round(time.time() - t0, 2),
-                "stage_sec": timings,
-                "workdir": args.workdir,
-            }
-        )
-    )
+    summary = {
+        "rows": n_rows,
+        "clusters": n_clusters,
+        "elapsed_sec": round(time.time() - t0, 2),
+        "stage_sec": timings,
+        "workdir": args.workdir,
+    }
+    if args.metrics:
+        summary["task_metrics"] = task_metrics(spark)
+    print(json.dumps(summary))
     spark.stop()
 
 
