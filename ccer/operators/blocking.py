@@ -140,7 +140,10 @@ def salt_oversized_blocks(
     oversized-key list (the skew tail — tiny by construction) back onto
     the block rows; the block rows are shuffled exactly once.
     """
-    caps = {PASS_HOST: 32} if weak_pass_caps is None else weak_pass_caps
+    # host is a weak signal: a same-host pair that is a REAL near-dup is
+    # almost always also band- or fingerprint-blocked, so a tight cap
+    # costs ~no recall while cutting the quadratic same-host pair volume
+    caps = {PASS_HOST: 16} if weak_pass_caps is None else weak_pass_caps
     cap_col = F.lit(block_cap)
     for pass_id, cap in caps.items():
         cap_col = F.when(

@@ -10,10 +10,19 @@ Reference analog: the Rust ETL's extract+normalize relay
 (parsing-utils/parse_join_normalize_author_affiliation_metadata/src/main.rs:363-381
 — normalized key columns computed once, carried through all joins).
 
-Scale note: output width per record is bounded — text_norm is capped at
-``text_cap`` chars and the signature is ``num_perm`` longs — so the
-features table is O(input) with a small constant, safe to checkpoint and
-shuffle at 10^12 rows.
+Scale note: output width per record is bounded AND deliberately small —
+the shuffle-byte budget is what caps throughput at scale (measured: the
+pairwise-scoring exchange is the pipeline's largest shuffle, and every
+byte here rides it once per consuming join):
+
+- the normalized text is NOT carried (its 64-bit hash is, for the
+  byte-identical-extraction check); the scorer needs only the capped
+  ``text_prefix``;
+- the MinHash signature and the KMV overlap sketch store 32-bit values
+  (the order-preserving top half of each 64-bit hash): position-equality
+  and bottom-k semantics are preserved with collision probability 2^-32
+  per comparison — immaterial next to the estimators' own variance —
+  at half the bytes.
 """
 
 from __future__ import annotations
@@ -32,9 +41,9 @@ from ccer.functions.normalize import html_to_text, normalize_text, normalize_url
 
 FEATURES_SCHEMA = (
     "rid string, id long, url string, warc_ts timestamp, lang string, "
-    "url_norm string, host string, title_norm string, text_norm string, "
-    "text_prefix string, n_tokens int, n_sh int, sig array<long>, "
-    "simhash long, sh array<long>"
+    "url_norm string, host string, title_norm string, text_norm_hash long, "
+    "text_prefix string, n_tokens int, n_sh int, sig array<int>, "
+    "simhash long, sh array<int>"
 )
 
 
@@ -105,7 +114,8 @@ def extract_features(
             # 384 ints per row into Python lists would dominate the pass)
             rids, ids2 = [], np.empty(n, dtype=np.int64)
             url_norms, hosts, title_norms = [], [], []
-            text_norms, text_prefixes = [], []
+            text_prefixes = []
+            text_norm_hashes = np.empty(n, dtype=np.int64)
             n_tokens = np.empty(n, dtype=np.int32)
             n_shs = np.empty(n, dtype=np.int32)
             sigs, shs = [], []
@@ -131,14 +141,17 @@ def extract_features(
                 url_norms.append(normalize_url(url))
                 hosts.append(url_host(url))
                 title_norms.append(title_norm)
-                text_norms.append(text_norm)
+                text_norm_hashes[i] = hash64(text_norm) & 0x7FFFFFFFFFFFFFFF
                 text_prefixes.append(text_norm[:prefix_cap])
                 n_tokens[i] = len(text_norm.split())
-                n_shs[i] = sh.size
-                sigs.append(sig.view(np.int64))
-                # bottom-k (KMV) sketch: k smallest hashes — fixed-size,
-                # mergeable overlap sketch, O(k) bytes per record
-                shs.append(np.sort(sh)[:sketch_k].view(np.int64))
+                # 32-bit hash space for signature + sketch: the top half
+                # of each 64-bit hash (order-preserving truncation)
+                sigs.append((sig >> np.uint64(32)).astype(np.uint32).view(np.int32))
+                # bottom-k (KMV) sketch over the 32-bit hashes — unique
+                # ascending, so the scorer's set ops can assume_unique
+                h32 = np.unique((sh >> np.uint64(32)).astype(np.uint32))
+                n_shs[i] = h32.size
+                shs.append(h32[:sketch_k].view(np.int32))
                 fps[i] = np.uint64(fp).astype(np.int64)
             yield pd.DataFrame(
                 {
@@ -150,7 +163,7 @@ def extract_features(
                     "url_norm": url_norms,
                     "host": hosts,
                     "title_norm": title_norms,
-                    "text_norm": text_norms,
+                    "text_norm_hash": text_norm_hashes,
                     "text_prefix": text_prefixes,
                     "n_tokens": n_tokens,
                     "n_sh": n_shs,

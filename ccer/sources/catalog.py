@@ -159,12 +159,7 @@ class StageStore:
                 writer = writer.partitionBy(*partition_by)
             writer.parquet(self.path(name))
         out = self.read(name)
-        per_partition = [
-            {"partition": r["p"], "rows": r["rows"]}
-            for r in out.groupBy(F.spark_partition_id().alias("p"))
-            .agg(F.count(F.lit(1)).alias("rows"))
-            .collect()
-        ]
+        per_partition = self._lineage_counts(name, out)
         rows = sum(p["rows"] for p in per_partition)
         manifest = self._load_manifest()
         manifest["stages"][name] = {
@@ -186,6 +181,37 @@ class StageStore:
                 indent=2,
             )
         return out
+
+    def _lineage_counts(self, name: str, out: DataFrame) -> list[dict]:
+        """Per-partition lineage rows. For parquet stages the counts come
+        straight from the file footers (driver-side, zero Spark jobs —
+        the previous groupBy(spark_partition_id) re-read every stage it
+        had just written, a full extra table scan per stage); the Iceberg
+        branch counts through the engine."""
+        if self.table_format == "parquet":
+            try:
+                import glob
+
+                import pyarrow.parquet as pq
+
+                files = sorted(glob.glob(os.path.join(self.path(name), "*.parquet")))
+                if files:
+                    return [
+                        {
+                            "partition": i,
+                            "file": os.path.basename(f),
+                            "rows": pq.ParquetFile(f).metadata.num_rows,
+                        }
+                        for i, f in enumerate(files)
+                    ]
+            except Exception:
+                pass
+        return [
+            {"partition": r["p"], "rows": r["rows"]}
+            for r in out.groupBy(F.spark_partition_id().alias("p"))
+            .agg(F.count(F.lit(1)).alias("rows"))
+            .collect()
+        ]
 
     def read(self, name: str) -> DataFrame:
         if self.table_format == "iceberg":

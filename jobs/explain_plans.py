@@ -98,6 +98,50 @@ def main() -> None:
         pairs,
         must_not_contain=["BroadcastNestedLoopJoin", "CartesianProduct"],
     )
+    # 6. ordered export: distributed top-k (TakeOrderedAndProject), never a
+    # global single-partition window over the full table
+    audit(
+        "ordered_export_topk",
+        dq.q_ordered_export(spark, sf_dir),
+        must_contain=["TakeOrderedAndProject"],
+    )
+    # 7. bucketed features: the scoring joins read the bucketed stage with
+    # NO features-side exchange (only the 16-byte pairs side shuffles)
+    import shutil
+    import tempfile
+
+    from ccer.operators.scoring import attach_pair_features
+    from ccer.sources.catalog import StageStore
+
+    wd = tempfile.mkdtemp(prefix="ccer_planaudit_")
+    try:
+        # disable broadcast so the audit exercises the shuffle-join shape
+        # the stage has at scale (broadcast would trivially hide exchanges)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        store = StageStore(spark, wd)
+        feats_b = store.write(feats, "features", bucket_by="id")
+        pairs_b = store.write(pairs, "pairs")
+        wide = attach_pair_features(pairs_b, feats_b)
+        text = plan_of(wide)
+        import re as _re
+
+        # both bucketed features scans must come straight from the catalog
+        # table, with zero features-side exchanges (only pairs shuffles)
+        feat_exchanges = len(_re.findall(r"Exchange hashpartitioning\(_fid", text))
+        ok = text.count("ccer_features_") >= 2 and feat_exchanges == 0
+        notes = [
+            f"{'✓' if text.count('ccer_features_') >= 2 else '✗'} both joins scan the bucketed stage table",
+            f"{'✓' if feat_exchanges == 0 else '✗'} zero features-side exchanges (found {feat_exchanges})",
+        ]
+        checks.append(("bucketed_features_join", ok, notes))
+        sections.append(
+            "## bucketed_features_join\n\n"
+            + "\n".join(f"- {n}" for n in notes)
+            + f"\n\n```\n{text[:3500]}\n```\n"
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        shutil.rmtree(wd, ignore_errors=True)
 
     n_ok = sum(1 for _, ok, _ in checks if ok)
     header = (

@@ -50,6 +50,6 @@ def test_stream_ingest_foreachbatch(spark, tmp_path):
     assert "sig" in out.columns and "batch_id" in out.columns
     # features identical to the batch kernel (byte-identical invariant)
     batch = extract_features(pages)
-    a = {r["rid"]: r["text_norm"] for r in out.collect()}
-    b = {r["rid"]: r["text_norm"] for r in batch.collect()}
+    a = {r["rid"]: r["text_norm_hash"] for r in out.collect()}
+    b = {r["rid"]: r["text_norm_hash"] for r in batch.collect()}
     assert a == b
