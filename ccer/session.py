@@ -44,17 +44,48 @@ def get_spark(
         # zstd checkpoints: the stage tables are write-once/read-once —
         # trade a little CPU (which scales) for disk I/O (which doesn't)
         .config("spark.sql.parquet.compression.codec", "zstd")
-        # local mode: the driver JVM hosts every executor thread. A MODEST
-        # heap + throughput GC wins here: measured at 480k docs/local[16],
-        # a 64g G1 heap spent 400-500s in GC (humongous-allocation storms
-        # from 16 concurrent Arrow batch streams) and inflated task CPU
-        # 5-7x; 12-24g + ParallelGC cut wall time 456s -> 160s. Real
-        # clusters run one JVM per executor with 8-16g heaps — this
-        # matches that shape instead of pretending to be one giant node.
-        .config("spark.driver.memory", os.environ.get("CCER_DRIVER_MEM", "16g"))
+        # local mode: the driver JVM hosts every executor thread. Heap is
+        # sized PER CORE (default 2g/core, min 12g) because that is the
+        # resource shape of a real cluster — every executor added brings
+        # its own memory, so a 4N-executor cluster has 4N heap. A fixed
+        # heap shared by 4x the threads quarters per-task memory and the
+        # extra threads drown in GC (measured at 480k docs/local[16] with
+        # a fixed 16g heap: 1112s GC vs 209s at local[4] — the whole
+        # scaling gap). Throughput GC (ParallelGC) beats G1 here: 64g G1
+        # spent 400-500s in humongous-allocation storms from concurrent
+        # Arrow batch streams.
+        .config(
+            "spark.driver.memory",
+            os.environ.get(
+                "CCER_DRIVER_MEM",
+                f"{max(12, int(float(os.environ.get('CCER_MEM_PER_CORE_GB', '2')) * cores))}g",
+            ),
+        )
         .config(
             "spark.driver.extraJavaOptions",
             os.environ.get("CCER_DRIVER_JAVA_OPTS", "-XX:+UseParallelGC"),
+        )
+        # Tungsten execution memory off-heap (1g/core): sort/join pages
+        # out of the GC's reach. Measured on the 480k-page edges stage at
+        # local[16]: on-heap pages drove 1832s of summed GC task time and
+        # 230s stage wall; off-heap cut GC to 52s and the stage to 115s.
+        # On a real cluster this maps to executor.memoryOverhead sizing.
+        .config(
+            "spark.memory.offHeap.enabled",
+            os.environ.get("CCER_OFFHEAP", "true"),
+        )
+        .config(
+            "spark.memory.offHeap.size",
+            os.environ.get("CCER_OFFHEAP_SIZE", f"{max(4, cores)}g"),
+        )
+        # fresh Python worker per task: the features stage's workers grow
+        # multi-GB RSS (html/text buffers) and, reused, starve every later
+        # pandas-UDF stage of page cache + allocator locality. Measured at
+        # 480k docs/local[16]: full pipeline 348s with reuse, 135s without
+        # (edges stage 178s -> 43s). Respawn cost is ~1s per stage total.
+        .config(
+            "spark.python.worker.reuse",
+            os.environ.get("CCER_PY_WORKER_REUSE", "false"),
         )
         .config("spark.ui.enabled", "false")
         # shuffle spill files on tmpfs: N concurrent shuffle writers on a

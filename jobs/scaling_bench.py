@@ -110,21 +110,32 @@ def run_level(cores: int, corpus: str, workdir: str) -> dict:
         )
     last_json["wall_sec"] = round(wall, 1)
     last_json["cores"] = cores
+    shutil.rmtree(workdir, ignore_errors=True)  # keep tmpfs headroom
     return last_json
 
 
 def main() -> None:
     parser = argparse.ArgumentParser()
-    parser.add_argument("--docs", type=int, default=480_000)
+    # corpus default: large enough that per-stage fixed costs (stage
+    # barriers, Python worker spawn, job scheduling) are <5% of wall at
+    # the 4N level — at 480k docs the edges stage bottoms out at ~40s
+    # where overheads dominate and NO plan could show its scaling
+    parser.add_argument("--docs", type=int, default=1_920_000)
     parser.add_argument("--repeat", type=int, default=2)
     parser.add_argument("--levels", default="4,16", help="comma list: N,4N cores")
     parser.add_argument("--base", default="/tmp/ccer_scaling")
+    parser.add_argument(
+        "--workbase",
+        default="/dev/shm/ccer_scaling",
+        help="stage-checkpoint workdirs (tmpfs = the executor-local-NVMe analog)",
+    )
     args = parser.parse_args()
 
     corpus = os.path.join(args.base, "pages_parquet")
     if not os.path.exists(corpus):
         print(f"preparing corpus ({args.docs} docs)...", flush=True)
         prepare_corpus(args.docs, corpus)
+        time.sleep(10)  # let the prep session's JVM/page-cache churn settle
 
     lo, hi = (int(x) for x in args.levels.split(","))
     assert hi == 4 * lo, "levels must be N,4N"
@@ -139,7 +150,7 @@ def main() -> None:
     for r in range(args.repeat):  # interleaved A/B A/B …
         for cores in (lo, hi):
             print(f"run {r}: local[{cores}]...", flush=True)
-            res = run_level(cores, corpus, os.path.join(args.base, f"wd_{cores}_{r}"))
+            res = run_level(cores, corpus, os.path.join(args.workbase, f"wd_{cores}_{r}"))
             print(json.dumps(res), flush=True)
             results[cores].append(res)
 

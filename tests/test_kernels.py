@@ -265,3 +265,52 @@ def test_are_names_similar_reference_rule():
     assert not are_names_similar("Cher", "Sher")
     # different first, last barely over gate but < 0.95 ⇒ False
     assert not are_names_similar("Alice Mendez", "Bruno Menezes")
+
+
+# ------------------------------------------------------- KMV set cosine
+def _scalar_set_cosine(a, b, na, nb, k):
+    """Independent scalar reference for the batch KMV cosine: plain
+    Python sets, same estimator definition as scoring.py's docstring."""
+    import math
+
+    sa = {int(x) & 0xFFFFFFFF for x in a}
+    sb = {int(x) & 0xFFFFFFFF for x in b}
+    denom = math.sqrt(na * nb)
+    if denom == 0:
+        return 0.0
+    inter = len(sa & sb)
+    if na <= k and nb <= k:
+        return inter / denom
+    union = sorted(sa | sb)
+    m_u = max(1, min(k, len(union)))
+    bottom = set(union[:m_u])
+    hits = len(sa & sb & bottom)
+    j = hits / m_u
+    est = j / (1.0 + j) * (na + nb)
+    return min(1.0, est / denom)
+
+
+def test_set_cosine_batch_matches_scalar_reference():
+    import numpy as np
+
+    from ccer.operators.scoring import _set_cosine_batch
+
+    rng = np.random.default_rng(11)
+    k = 16
+    sha, shb, na, nb = [], [], [], []
+    cases = []
+    # random overlap structure, incl. empty sets and over-sketch sets
+    for _ in range(500):
+        base = rng.integers(0, 4000, rng.integers(0, 60))
+        extra = rng.integers(0, 4000, rng.integers(0, 40))
+        ua = np.unique(base.astype(np.uint32))
+        ub = np.unique(np.concatenate([base[: rng.integers(0, len(base) + 1)], extra]).astype(np.uint32))
+        na.append(ua.size)
+        nb.append(ub.size)
+        sha.append(ua[:k].view(np.int32))
+        shb.append(ub[:k].view(np.int32))
+        cases.append((ua, ub))
+    got = _set_cosine_batch(sha, shb, np.array(na), np.array(nb), k)
+    for i, (ua, ub) in enumerate(cases):
+        want = _scalar_set_cosine(ua[:k], ub[:k], na[i], nb[i], k)
+        assert abs(got[i] - want) < 1e-12, (i, got[i], want)
