@@ -61,9 +61,21 @@ def get_spark(
                 f"{max(12, int(float(os.environ.get('CCER_MEM_PER_CORE_GB', '2')) * cores))}g",
             ),
         )
+        # -XX:-DontCompileHugeMethods: whole-stage-codegen methods between
+        # HotSpot's HugeMethodLimit (8000 bytecode bytes) and Spark's
+        # codegen fallback (65535) are otherwise NEVER JIT-compiled and run
+        # interpreted forever — measured on the blocks stage (32-band
+        # minhash explode, maxMethodCodeSize 10227): tasks ran ~80x slower
+        # interpreted and the stage pinned every core in the interpreter
+        # (wall 17s -> 6.8s, task CPU 176s -> 53s at local[16] when the
+        # flag unlocks compilation). On a real cluster this belongs in
+        # spark.executor.extraJavaOptions too.
         .config(
             "spark.driver.extraJavaOptions",
-            os.environ.get("CCER_DRIVER_JAVA_OPTS", "-XX:+UseParallelGC"),
+            os.environ.get(
+                "CCER_DRIVER_JAVA_OPTS",
+                "-XX:+UseParallelGC -XX:-DontCompileHugeMethods",
+            ),
         )
         # Tungsten execution memory off-heap (1g/core): sort/join pages
         # out of the GC's reach. Measured on the 480k-page edges stage at
@@ -136,7 +148,7 @@ def task_metrics(spark: SparkSession) -> dict | None:
             stages = _json.load(resp)
     except Exception:
         return None
-    return {
+    out = {
         "executor_cpu_sec": round(sum(s.get("executorCpuTime", 0) for s in stages) / 1e9, 2),
         "executor_run_sec": round(sum(s.get("executorRunTime", 0) for s in stages) / 1e3, 2),
         "jvm_gc_sec": round(sum(s.get("jvmGcTime", 0) for s in stages) / 1e3, 2),
@@ -145,3 +157,25 @@ def task_metrics(spark: SparkSession) -> dict | None:
         "n_stages": len(stages),
         "n_tasks": sum(s.get("numCompleteTasks", 0) for s in stages),
     }
+    # per-Spark-stage attribution (CCER_STAGE_METRICS_PATH=<file>): where
+    # does CPU/GC/shuffle go — the diagnostic for scaling regressions
+    detail_path = os.environ.get("CCER_STAGE_METRICS_PATH")
+    if detail_path:
+        rows = [
+            {
+                "stage_id": s.get("stageId"),
+                "name": (s.get("name") or "")[:120],
+                "tasks": s.get("numCompleteTasks"),
+                "cpu_sec": round(s.get("executorCpuTime", 0) / 1e9, 2),
+                "run_sec": round(s.get("executorRunTime", 0) / 1e3, 2),
+                "gc_sec": round(s.get("jvmGcTime", 0) / 1e3, 2),
+                "sh_read_mb": round(s.get("shuffleReadBytes", 0) / 2**20, 1),
+                "sh_write_mb": round(s.get("shuffleWriteBytes", 0) / 2**20, 1),
+                "input_mb": round(s.get("inputBytes", 0) / 2**20, 1),
+                "output_mb": round(s.get("outputBytes", 0) / 2**20, 1),
+            }
+            for s in sorted(stages, key=lambda s: -s.get("executorCpuTime", 0))
+        ]
+        with open(detail_path, "w") as fh:
+            _json.dump(rows, fh, indent=1)
+    return out
