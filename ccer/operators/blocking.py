@@ -131,10 +131,19 @@ def salt_oversized_blocks(
     blocks: DataFrame,
     block_cap: int = 500,
     weak_pass_caps: dict | None = None,
-    salt_bits_max: int = 12,
+    salt_bits_max: int = 20,
 ) -> DataFrame:
     """Subdivide blocks larger than their cap by a SimHash-prefix salt
     whose width adapts to the block size (see module docstring).
+
+    ``salt_bits_max`` must be deep enough that the LARGEST block reaches
+    its cap: a 20%-of-corpus mega-host needs ceil(log2(0.2n/cap)) bits —
+    14 at 960k rows, ~34 at 10^12 (content bits are plentiful: the salt
+    is a simhash prefix, 64 bits). A cap that binds leaves cells of
+    n/2^bits rows whose QUADRATIC pair cost grows with corpus size —
+    measured at 960k pages/cap 12: 4096 cells x ~47 rows = 4.4M
+    candidate pairs from one host, 4x the 480k count (the salted cells,
+    not the matches, were the growth).
 
     One aggregation (block-size profile) + one broadcast join of the
     oversized-key list (the skew tail — tiny by construction) back onto
@@ -178,8 +187,13 @@ def salt_oversized_blocks(
     return salted
 
 
+HOST_HAMMING_PREFILTER = 16
+
+
 def candidate_pairs(
-    blocks: DataFrame, hamming_prefilter: int | None = 26
+    blocks: DataFrame,
+    hamming_prefilter: int | None = 26,
+    host_hamming_prefilter: int | None = HOST_HAMMING_PREFILTER,
 ) -> DataFrame:
     """In-block self-join → distinct candidate id pairs (id_a < id_b).
 
@@ -195,6 +209,16 @@ def candidate_pairs(
     at ~32 bits and die here for the cost of one XOR. Exact-URL pairs
     (pass 1) bypass the filter: a re-crawl may have completely new
     content yet is still the same page identity.
+
+    ``host_hamming_prefilter``: STRICTER bound for host-pass pairs. Rows
+    inside a salted mega-host cell already AGREE on the simhash-prefix
+    salt bits (that is what co-celled them), so their expected xor weight
+    over the remaining bits is halved and the global prefilter passes
+    ~half of the junk — the salt selects for exactly the pairs the filter
+    was meant to kill (measured at 960k pages: the host pass alone
+    generated 14.5M of 58M raw candidates). A pair that only the host
+    pass finds is a same-site near-identical page, which sits at single-
+    digit hamming; 16 bits keeps those while killing the correlated junk.
     """
     left = blocks.select(
         "block_key",
@@ -207,8 +231,15 @@ def candidate_pairs(
     )
     joined = left.join(right, "block_key").filter(F.col("id_a") < F.col("id_b"))
     if hamming_prefilter is not None:
+        dist = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+        host_bound = (
+            hamming_prefilter if host_hamming_prefilter is None
+            else min(host_hamming_prefilter, hamming_prefilter)
+        )
         keep = (
-            F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))) <= hamming_prefilter
-        ) | (F.col("pass_id") == PASS_URL)
+            F.when(F.col("pass_id") == PASS_URL, F.lit(True))
+            .when(F.col("pass_id") == PASS_HOST, dist <= host_bound)
+            .otherwise(dist <= hamming_prefilter)
+        )
         joined = joined.filter(keep)
     return joined.select("id_a", "id_b").dropDuplicates(["id_a", "id_b"])

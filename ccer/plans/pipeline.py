@@ -38,10 +38,11 @@ class PipelineConfig:
         text_cap: int = 4000,
         block_cap: int = 500,
         weak_pass_caps: dict | None = None,
-        salt_bits_max: int = 12,
+        salt_bits_max: int = 20,
         passes=("url", "host", "minhash", "simhash"),
         scoring: ScoringConfig | None = None,
         hamming_prefilter: int | None = 26,
+        host_hamming_prefilter: int | None = 16,
     ):
         if num_perm % minhash_bands != 0:
             raise ValueError(
@@ -58,6 +59,7 @@ class PipelineConfig:
         self.passes = passes
         self.scoring = scoring or ScoringConfig()
         self.hamming_prefilter = hamming_prefilter
+        self.host_hamming_prefilter = host_hamming_prefilter
 
     def fingerprint(self) -> str:
         """Stable digest of every knob that changes stage contents — stored
@@ -119,7 +121,11 @@ def run_pipeline(
     )
     pairs = stage(
         "pairs",
-        lambda: candidate_pairs(blocks, hamming_prefilter=cfg.hamming_prefilter),
+        lambda: candidate_pairs(
+            blocks,
+            hamming_prefilter=cfg.hamming_prefilter,
+            host_hamming_prefilter=cfg.host_hamming_prefilter,
+        ),
     )
     edges = stage(
         "edges", lambda: match_edges(score_pairs(pairs, features, cfg.scoring))

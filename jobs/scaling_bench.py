@@ -38,27 +38,37 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-BURN_SEC = 1.0
+BURN_ITERS = 20_000_000
 
 
-def _burn(_) -> int:
-    """CPU-bound unit task for host-capacity calibration."""
+def _burn(_) -> float:
+    """FIXED-WORK unit task for host-capacity calibration. Fixed work (not
+    fixed wall time) is essential: a fixed-wall spin "completes" on
+    schedule even when the hypervisor steals cycles, so it measures
+    scheduling concurrency, not deliverable compute — it reported 14.6
+    "effective cores" on a host whose real 4->16-worker throughput gain
+    was what mattered."""
     t0 = time.perf_counter()
     x = 0
-    while time.perf_counter() - t0 < BURN_SEC:
-        x += 1
-    return x
+    for i in range(BURN_ITERS):
+        x += i
+    return time.perf_counter() - t0
 
 
-def measure_effective_cores(workers: int, tasks_factor: int = 3) -> float:
-    """Deliverable parallelism at ``workers`` processes: total CPU-seconds
-    of work completed per wall-second (== workers on an unloaded host)."""
+def measure_effective_cores(workers: int, tasks_factor: int = 2) -> float:
+    """Deliverable parallelism at ``workers`` processes: fixed-work tasks
+    completed per wall-second, normalized by the single-worker rate
+    (== workers on an unloaded host)."""
     n_tasks = workers * tasks_factor
     t0 = time.perf_counter()
     with mp.Pool(workers) as pool:
         pool.map(_burn, range(n_tasks))
     wall = time.perf_counter() - t0
-    return n_tasks * BURN_SEC / wall
+    rate = n_tasks / wall
+    t0 = time.perf_counter()
+    _burn(0); _burn(0)
+    rate1 = 2 / (time.perf_counter() - t0)
+    return rate / rate1
 
 
 def prepare_corpus(n_docs: int, path: str) -> None:
@@ -75,15 +85,19 @@ def prepare_corpus(n_docs: int, path: str) -> None:
 
 def run_level(cores: int, corpus: str, workdir: str) -> dict:
     shutil.rmtree(workdir, ignore_errors=True)
-    # level fairness: flush writeback from the previous run so the second
-    # level doesn't compete with the first level's dirty pages
+    # level fairness: flush writeback, then WARM the corpus + jars so every
+    # run at every level starts from the same (warm) page-cache state.
+    # (The previous protocol dropped all caches instead; that added a
+    # noisy multi-GB cold re-read of jars/libs/corpus whose I/O time
+    # swamped the signal — local[4] runs of identical work ranged
+    # 289-550 s under it.)
     subprocess.run(["sync"], check=False)
-    try:
-        with open("/proc/sys/vm/drop_caches", "w") as fh:
-            fh.write("3\n")
-    except OSError:
-        pass
-    time.sleep(5)
+    for root, _, files in os.walk(corpus):
+        for f in files:
+            with open(os.path.join(root, f), "rb") as fh:
+                while fh.read(1 << 22):
+                    pass
+    time.sleep(2)
     t0 = time.time()
     out = subprocess.run(
         [
