@@ -30,6 +30,59 @@ def hash_tokens64(tokens) -> np.ndarray:
     )
 
 
+_MIX_C = np.array(
+    [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9,
+     0x27D4EB2F165667C5, 0x85EBCA77C2B2AE63, 0x2545F4914F6CDD1D],
+    dtype=np.uint64,
+)
+_MIX_R = np.array([0, 31, 17, 47, 23, 9], dtype=np.uint64)
+_FMIX = np.uint64(0xFF51AFD7ED558CCD)
+_S33 = np.uint64(33)
+
+
+def shingle_hashes64(words: list, k: int, word_cache: dict | None = None) -> np.ndarray:
+    """uint64 hash per k-word shingle, WITHOUT materializing shingle
+    strings: each unique word is blake2b-hashed once (memoized in
+    ``word_cache`` — pass a per-batch/per-worker dict; Zipfian text makes
+    the hit rate very high), then the k word hashes of every window are
+    mixed with a vectorized xxhash-style combiner (rotate + odd-constant
+    multiply + avalanche) over the whole document at once.
+
+    This replaces hash64(" ".join(window)) per shingle, which was 52% of
+    the features-stage kernel (one Python-level blake2b call per shingle,
+    ~207k calls for 800 pages) plus the shingle-string construction
+    (another 18%). Different hash VALUES than the string path — still a
+    pure deterministic function of the token sequence, which is the only
+    property MinHash/SimHash/KMV need.
+    """
+    n = len(words)
+    if n < k:
+        return np.empty(0, dtype=np.uint64)
+    if word_cache is None:
+        word_cache = {}
+    wh = np.empty(n, dtype=np.uint64)
+    get = word_cache.get
+    for i, w in enumerate(words):
+        v = get(w)
+        if v is None:
+            v = np.uint64(hash64(w))
+            word_cache[w] = v
+        wh[i] = v
+    m = n - k + 1
+    with np.errstate(over="ignore"):
+        h = np.zeros(m, dtype=np.uint64)
+        for j in range(k):
+            x = wh[j : j + m] * _MIX_C[j % 6]
+            r = _MIX_R[j % 6]
+            if r:
+                x = (x << r) | (x >> (np.uint64(64) - r))
+            h ^= x
+        h ^= h >> _S33
+        h *= _FMIX
+        h ^= h >> _S33
+    return h
+
+
 def _minhash_perms(num_perm: int, seed: int = 1):
     """Affine permutation parameters (a odd, b) drawn deterministically."""
     rng = np.random.RandomState(seed)
@@ -96,9 +149,18 @@ def simhash_from_hashes(base: np.ndarray, weights=None) -> int:
     if base.size == 0:
         return 0
     if weights is None:
-        w = np.ones(base.size, dtype=np.float64)
-    else:
-        w = np.asarray(weights, dtype=np.float64)
+        # unweighted fast path: bit i is set iff more than half the token
+        # hashes have bit i set (2*count - n > 0). unpackbits over the
+        # little-endian byte view yields the same bit order as
+        # (base >> i) & 1 at ~10x the speed of the float bit-matrix.
+        n = base.size
+        bits = np.unpackbits(
+            base.view(np.uint8).reshape(n, 8), axis=1, bitorder="little"
+        )
+        counts = bits.sum(axis=0, dtype=np.int64)
+        set_bits = np.flatnonzero(counts * 2 > n).astype(np.uint64)
+        return int(np.bitwise_or.reduce(np.uint64(1) << set_bits)) if set_bits.size else 0
+    w = np.asarray(weights, dtype=np.float64)
     bits = ((base[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
         np.float64
     )

@@ -33,11 +33,11 @@ from pyspark.sql import DataFrame
 
 from ccer.functions.hashing import (
     hash64,
-    hash_tokens64,
     minhash_from_hashes,
+    shingle_hashes64,
     simhash_from_hashes,
 )
-from ccer.functions.normalize import html_to_text, normalize_text, normalize_url, url_host, word_shingles
+from ccer.functions.normalize import html_to_text, normalize_text, normalize_url, url_host
 
 FEATURES_SCHEMA = (
     "rid string, id long, url string, warc_ts timestamp, lang string, "
@@ -102,7 +102,13 @@ def extract_features(
         pages = pages.repartition(target)
 
     def gen(iterator):
+        # per-task word-hash memo for the shingle hasher: web text is
+        # Zipfian, so most word hashes are cache hits. Bounded to keep
+        # worker RSS flat on adversarial vocabularies.
+        word_cache: dict = {}
         for pdf in iterator:
+            if len(word_cache) > 2_000_000:
+                word_cache.clear()
             n = len(pdf)
             urls = pdf["url"].tolist()
             tss = pdf["warc_ts"].tolist()
@@ -129,10 +135,17 @@ def extract_features(
                 title = text.split("\n", 1)[0][:title_cap]
                 text_norm = normalize_text(text[:text_cap]) or ""
                 title_norm = normalize_text(title) or ""
-                shingles = word_shingles(text_norm, k=shingle_k) if text_norm else []
+                words = text_norm.split()
                 # hash shingles ONCE; signature, fingerprint, and the
-                # pairwise-overlap sketch all derive from the same hashes
-                sh = hash_tokens64(shingles)
+                # pairwise-overlap sketch all derive from the same hashes.
+                # Vectorized path: memoized word hashes + numpy window mix
+                # (no shingle strings, no per-shingle blake2b).
+                if len(words) >= shingle_k:
+                    sh = shingle_hashes64(words, shingle_k, word_cache)
+                elif words:
+                    sh = np.array([hash64(" ".join(words))], dtype=np.uint64)
+                else:
+                    sh = np.empty(0, dtype=np.uint64)
                 sig = minhash_from_hashes(sh, num_perm=num_perm)
                 fp = simhash_from_hashes(sh)
                 rid = f"{url}@{tss[i].isoformat() if tss[i] is not None else ''}"
@@ -143,7 +156,7 @@ def extract_features(
                 title_norms.append(title_norm)
                 text_norm_hashes[i] = hash64(text_norm) & 0x7FFFFFFFFFFFFFFF
                 text_prefixes.append(text_norm[:prefix_cap])
-                n_tokens[i] = len(text_norm.split())
+                n_tokens[i] = len(words)
                 # 32-bit hash space for signature + sketch: the top half
                 # of each 64-bit hash (order-preserving truncation)
                 sigs.append((sig >> np.uint64(32)).astype(np.uint32).view(np.int32))

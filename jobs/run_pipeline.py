@@ -31,6 +31,12 @@ def main() -> None:
     parser.add_argument("--resume", action="store_true")
     parser.add_argument("--cores", type=int, default=None)
     parser.add_argument("--block-cap", type=int, default=500)
+    parser.add_argument(
+        "--no-udf",
+        action="store_true",
+        help="pure-SQL scorer: zero Python crossings (native levenshtein "
+        "in place of the Python string kernels in the ambiguous band)",
+    )
     parser.add_argument("--config", default=None, help="YAML config (ccer.config.CcerConfig)")
     parser.add_argument(
         "--metrics",
@@ -52,6 +58,8 @@ def main() -> None:
         pipeline_config = ccer_cfg.pipeline_config()
     else:
         pipeline_config = PipelineConfig(block_cap=args.block_cap)
+    if args.no_udf:
+        pipeline_config.scoring.backend = "sql"
 
     extra_conf = {"spark.ui.enabled": "true"} if args.metrics else None
     spark = get_spark(app_name="ccer-pipeline", cores=args.cores, extra_conf=extra_conf)

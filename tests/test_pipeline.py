@@ -76,3 +76,43 @@ def test_skew_salting_bounds_block_size(spark, corpus, tmp_path_factory):
     # mega-host block (~20% of rows) must have been subdivided
     assert max_block <= 120  # 600 docs * 20% = 120 hard ceiling, salted below
     feats.unpersist()
+
+
+def test_scoring_backend_parity(spark, corpus):
+    """The JVM (hybrid) scorer's cosine + decisions are double-for-double
+    identical to the all-Python Arrow scorer, and the --no-udf SQL
+    backend agrees on the decided tiers (its kernel tier is a documented
+    levenshtein approximation, so only match SUPERSET/rows are compared
+    where both are non-ambiguous)."""
+    from ccer.operators.blocking import block_keys, candidate_pairs, salt_oversized_blocks
+    from ccer.operators.features import extract_features
+    from ccer.operators.scoring import ScoringConfig, score_pairs
+
+    feats = extract_features(corpus.drop("true_cluster_id")).cache()
+    pairs = candidate_pairs(salt_oversized_blocks(block_keys(feats))).cache()
+    assert pairs.count() > 100
+
+    def rows(backend):
+        cfg = ScoringConfig(backend=backend)
+        out = score_pairs(pairs, feats, cfg)
+        return {
+            (r["id_a"], r["id_b"]): (round(r["s_set"], 12), r["same_url"], r["is_match"])
+            for r in out.collect()
+        }
+
+    py = rows("python")
+    hy = rows("hybrid")
+    assert set(py) == set(hy)
+    mismatches = {k: (py[k], hy[k]) for k in py if py[k] != hy[k]}
+    assert not mismatches, list(mismatches.items())[:5]
+
+    # sql backend: same pair set; tier-0/1 decisions identical
+    sq = rows("sql")
+    assert set(sq) == set(py)
+    cfg = ScoringConfig()
+    for k, (s, same, m) in py.items():
+        if same or s >= cfg.cos_hi or s < cfg.lev_band[0]:
+            assert sq[k][2] == m, (k, py[k], sq[k])
+
+    pairs.unpersist()
+    feats.unpersist()
