@@ -49,8 +49,13 @@ def main() -> None:
     # amplify the documents table into a page corpus (~12 near-dup
     # replicas per doc) so the ER bench has enough rows to amortize task
     # setup (BASELINE.md: >= ~1e5 docs at the scaling protocol's sf)
+    # 48x amplification puts the sf0.1 ER corpus (~242k pages) into the
+    # scaling regime where per-stage fixed costs stop dominating: measured
+    # 1,867 docs/sec at 12x (62k pages, fixed costs ~75% of wall) vs
+    # 3,465 docs/sec at 48x on the same build (and 6,962 docs/sec at 960k
+    # pages in BENCH/BASELINE.md's protocol runs).
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    amplify = int(os.environ.get("CCER_BENCH_AMPLIFY", "12"))
+    amplify = int(os.environ.get("CCER_BENCH_AMPLIFY", "48"))
     pages = dq.pages_from_documents(docs, amplify=amplify)
     n_pages = pages.count()  # materialization cost excluded from ER timing
 
