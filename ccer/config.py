@@ -34,6 +34,9 @@ class CcerConfig:
     cos_lo: float = 0.55
     jw_gate: float = 0.85
     lev_hi: float = 0.90
+    # "hybrid" (JVM cosine tiers + Python kernels for the ambiguous band),
+    # "sql" (zero Python crossings, the --no-udf mode), or "python"
+    scorer: str = "hybrid"
 
     @classmethod
     def from_yaml(cls, path: str) -> "CcerConfig":
@@ -51,6 +54,7 @@ class CcerConfig:
         return ScoringConfig(
             cos_hi=self.cos_hi, cos_lo=self.cos_lo,
             jw_gate=self.jw_gate, lev_hi=self.lev_hi,
+            backend=self.scorer,
         )
 
     def pipeline_config(self):

@@ -217,7 +217,7 @@ def main() -> None:
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     stage_lo = results[lo][-1].get("stage_sec", {})
     stage_hi = results[hi][-1].get("stage_sec", {})
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
+    with open(os.path.join(REPO, "BENCH", "SCALING_RUNS.md"), "w") as fh:
         fh.write(
             f"""# BENCH/BASELINE — two-cluster-size scaling protocol
 
@@ -268,7 +268,7 @@ Raw runs (including full task metrics):
 ```
 """
         )
-    print("wrote BENCH/BASELINE.md", flush=True)
+    print("wrote BENCH/SCALING_RUNS.md (raw protocol output; BENCH/BASELINE.md is the curated summary)", flush=True)
 
 
 if __name__ == "__main__":
