@@ -124,3 +124,17 @@ def test_multimodal_plumbing(spark):
     # real-codec path fails loudly, not silently
     with pytest.raises(Exception, match="NotImplementedError|codec"):
         decode_images(df, use_real_codecs=True).collect()
+
+
+def test_yaml_scorer_backend(tmp_path):
+    """YAML `scorer:` selects the scoring backend; --no-udf maps to sql."""
+    from ccer.config import CcerConfig
+
+    p = tmp_path / "cfg.yaml"
+    p.write_text("scorer: sql\nblock_cap: 99\n")
+    cfg = CcerConfig.from_yaml(str(p))
+    pc = cfg.pipeline_config()
+    assert pc.scoring.backend == "sql"
+    assert pc.block_cap == 99
+    # default is the hybrid backend
+    assert CcerConfig().pipeline_config().scoring.backend == "hybrid"

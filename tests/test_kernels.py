@@ -314,3 +314,42 @@ def test_set_cosine_batch_matches_scalar_reference():
     for i, (ua, ub) in enumerate(cases):
         want = _scalar_set_cosine(ua[:k], ub[:k], na[i], nb[i], k)
         assert abs(got[i] - want) < 1e-12, (i, got[i], want)
+
+
+def test_shingle_hashes64_windows():
+    """Vectorized shingle hasher: deterministic, window-positional, cache-
+    transparent, and empty below k words."""
+    import numpy as np
+
+    from ccer.functions.hashing import shingle_hashes64
+
+    words = ["alpha", "beta", "gamma", "delta", "alpha", "beta"]
+    h1 = shingle_hashes64(words, 3, {})
+    cache = {}
+    h2 = shingle_hashes64(words, 3, cache)
+    h3 = shingle_hashes64(words, 3, cache)  # warm-cache second call
+    assert (h1 == h2).all() and (h2 == h3).all()
+    assert h1.size == len(words) - 2
+    assert h1.dtype == np.uint64
+    # a one-word edit only perturbs the windows containing that position
+    w2 = list(words)
+    w2[3] = "epsilon"
+    h4 = shingle_hashes64(w2, 3, {})
+    assert (h1[:1] == h4[:1]).all() and (h1[1:] != h4[1:]).all()
+    assert shingle_hashes64(["a", "b"], 3, {}).size == 0
+    assert shingle_hashes64([], 3, {}).size == 0
+
+
+def test_simhash_fast_path_matches_weighted():
+    """The unpackbits popcount path equals the float bit-matrix path."""
+    import numpy as np
+
+    from ccer.functions.hashing import simhash_from_hashes
+
+    rng = np.random.RandomState(7)
+    for n in (1, 2, 9, 64, 257):
+        base = rng.randint(0, 2**63, n).astype(np.uint64)
+        assert simhash_from_hashes(base) == simhash_from_hashes(
+            base, weights=np.ones(n)
+        )
+    assert simhash_from_hashes(np.empty(0, dtype=np.uint64)) == 0
