@@ -34,6 +34,7 @@ class PipelineConfig:
         self,
         num_perm: int = 128,
         minhash_bands: int = 32,
+        simhash_bits: int | str = "auto",
         shingle_k: int = 3,
         text_cap: int = 4000,
         block_cap: int = 500,
@@ -51,6 +52,7 @@ class PipelineConfig:
             )
         self.num_perm = num_perm
         self.minhash_bands = minhash_bands
+        self.simhash_bits = simhash_bits
         self.shingle_k = shingle_k
         self.text_cap = text_cap
         self.block_cap = block_cap
@@ -105,6 +107,19 @@ def run_pipeline(
         ),
         bucket_by="id",
     )
+    # the simhash pass's key space (rotations x 2^bits buckets) is FIXED,
+    # so at constant bits the per-bucket population grows linearly with
+    # the corpus and the in-bucket pair count QUADRATICALLY (measured:
+    # 21.7M pair-candidates upper bound at 960k pages, 86.1M at 1.92M —
+    # 4x for 2x docs, every bucket of the 196,608 saturated). "auto"
+    # scales the prefix so buckets hold ~8 rows: the pass stays a
+    # bounded-cost secondary net at any corpus size, while the primary
+    # nets (url, MinHash bands) have corpus-proportional key spaces.
+    if cfg.simhash_bits == "auto":
+        n_rows = store._load_manifest()["stages"]["features"].get("rows") or 1
+        simhash_bits = min(40, max(16, (max(1, n_rows // 8)).bit_length()))
+    else:
+        simhash_bits = cfg.simhash_bits
     blocks = stage(
         "blocks",
         lambda: salt_oversized_blocks(
@@ -113,6 +128,7 @@ def run_pipeline(
                 passes=cfg.passes,
                 minhash_bands=cfg.minhash_bands,
                 num_perm=cfg.num_perm,
+                simhash_bits=simhash_bits,
             ),
             block_cap=cfg.block_cap,
             weak_pass_caps=cfg.weak_pass_caps,
