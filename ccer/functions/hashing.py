@@ -40,6 +40,29 @@ _FMIX = np.uint64(0xFF51AFD7ED558CCD)
 _S33 = np.uint64(33)
 
 
+def _mix_consts(k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-window-position mix constants for ANY shingle width k.
+
+    Positions 0..5 keep the hand-picked table (hash values for the
+    default k=3 are pinned by tests and materialized features); positions
+    ≥6 are seed-extended deterministically from blake2b so no two window
+    positions ever share a (multiplier, rotation) pair — cycling with
+    ``j % 6`` made positions 6 apart identical, and the XOR combine being
+    commutative, windows differing only by a swap of those words hashed
+    identically (silent collision for configurable shingle_k > 6).
+    """
+    if k <= 6:
+        return _MIX_C[:k], _MIX_R[:k]
+    c = np.empty(k, dtype=np.uint64)
+    r = np.empty(k, dtype=np.uint64)
+    c[:6], r[:6] = _MIX_C, _MIX_R
+    for j in range(6, k):
+        d = blake2b(b"shingle-mix-%d" % j, digest_size=9).digest()
+        c[j] = np.uint64(int.from_bytes(d[:8], "little") | 1)  # odd multiplier
+        r[j] = np.uint64(d[8] % 63 + 1)                        # rotation 1..63
+    return c, r
+
+
 def shingle_hashes64(words: list, k: int, word_cache: dict | None = None) -> np.ndarray:
     """uint64 hash per k-word shingle, WITHOUT materializing shingle
     strings: each unique word is blake2b-hashed once (memoized in
@@ -69,11 +92,12 @@ def shingle_hashes64(words: list, k: int, word_cache: dict | None = None) -> np.
             word_cache[w] = v
         wh[i] = v
     m = n - k + 1
+    mix_c, mix_r = _mix_consts(k)
     with np.errstate(over="ignore"):
         h = np.zeros(m, dtype=np.uint64)
         for j in range(k):
-            x = wh[j : j + m] * _MIX_C[j % 6]
-            r = _MIX_R[j % 6]
+            x = wh[j : j + m] * mix_c[j]
+            r = mix_r[j]
             if r:
                 x = (x << r) | (x >> (np.uint64(64) - r))
             h ^= x

@@ -104,22 +104,32 @@ def embedding_neardup_pairs(
     Multiple independent bucketings (rotations) push recall up: near
     vectors land in the same bucket in ≥1 of them with high probability.
     """
+    # bucket rows are bare (id, 8-byte bucket) — the vectors (~6 KB at
+    # 768-dim floats) do NOT ride the bucket join or the pair-dedup
+    # exchange; they join back on id only for the surviving unique pairs
+    # (the ER scorer's slim-crossing pattern, scoring.py:253-270).
     parts = []
     for r in range(n_rotations):
-        parts.append(_hyperplane_buckets(vectors, id_col, vec_col, n_planes, seed + r)
-                     .withColumn("bucket", F.concat_ws(":", F.lit(str(r)), "bucket")))
+        parts.append(
+            _hyperplane_buckets(vectors, id_col, vec_col, n_planes, seed + r)
+            .withColumn("bucket", F.xxhash64(F.lit(r), "bucket"))
+        )
     buckets = parts[0]
     for p in parts[1:]:
         buckets = buckets.unionByName(p)
-    v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    withvec = buckets.join(v, "id")
-    a = withvec.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), "bucket")
-    b = withvec.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), "bucket")
-    return (
+    a = buckets.select(F.col("id").alias("id_a"), "bucket")
+    b = buckets.select(F.col("id").alias("id_b"), "bucket")
+    pairs = (
         a.join(b, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "vec_a", "vec_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    va = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+    vb = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    return (
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
         .withColumn("cosine", cosine_col("vec_a", "vec_b"))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
@@ -144,7 +154,7 @@ def lsh_topk(
         for r in range(n_rotations):
             parts.append(
                 _hyperplane_buckets(df, id_col, vec_col, n_planes, seed + r)
-                .withColumn("bucket", F.concat_ws(":", F.lit(str(r)), "bucket"))
+                .withColumn("bucket", F.xxhash64(F.lit(r), "bucket"))
             )
         out = parts[0]
         for p in parts[1:]:

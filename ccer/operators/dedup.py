@@ -130,28 +130,41 @@ def minhash_neardup_pairs(
     estimated Jaccard = matching signature positions / num_perm (JVM
     zip_with + filter + size — no second Python pass).
     """
-    sigs = text_signatures(docs, text_col, id_col, num_perm=num_perm)
+    # consumed three times (band keys + the two signature join-backs):
+    # materialize the Arrow pass once; blocks are reclaimed by the
+    # ContextCleaner when the result DataFrame is collected.
+    sigs = text_signatures(docs, text_col, id_col, num_perm=num_perm).localCheckpoint(
+        eager=False
+    )
     rows_per_band = num_perm // bands
     band_cols = [
         F.xxhash64(F.lit(b), F.slice("sig", b * rows_per_band + 1, rows_per_band))
         for b in range(bands)
     ]
-    blocks = sigs.select(
-        "id", "sig", F.explode(F.array(*band_cols)).alias("bucket")
-    )
-    a = blocks.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "bucket")
-    b = blocks.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "bucket")
+    # the 128-long signature (~1 KB) must NOT ride the band join or the
+    # pair-dedup exchange: block rows are bare (id, bucket) 16-byte pairs,
+    # the bucket self-join and dropDuplicates shuffle only ids, and the
+    # signatures join back on id afterwards (the ER scorer's slim-crossing
+    # pattern, scoring.py:253-270). At 10^12 docs the dedup exchange
+    # carries 16 B/pair instead of ~2 KB/pair.
+    blocks = sigs.select("id", F.explode(F.array(*band_cols)).alias("bucket"))
+    a = blocks.select(F.col("id").alias("id_a"), "bucket")
+    b = blocks.select(F.col("id").alias("id_b"), "bucket")
     pairs = (
         a.join(b, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    sa = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
     est = F.size(
         F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m)
-    ) / F.lit(float(len_sig := num_perm))
+    ) / F.lit(float(num_perm))
     return (
-        pairs.withColumn("est_jaccard", est)
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= est_threshold)
         .select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
     )
@@ -178,9 +191,9 @@ def simhash_neardup_pairs(
                 F.shiftrightunsigned("simhash", 64 - rot)
             )
         )
-        key_cols.append(
-            F.concat_ws(":", F.lit(str(rot)), F.shiftrightunsigned(rotated, shift))
-        )
+        # 8-byte xxhash64 bucket keys, not strings — same shuffle-byte
+        # rationale as the ER blocking path (blocking.py module docstring)
+        key_cols.append(F.xxhash64(F.lit(rot), F.shiftrightunsigned(rotated, shift)))
     blocks = sigs.select("id", "simhash", F.explode(F.array(*key_cols)).alias("bucket"))
     a = blocks.select(F.col("id").alias("id_a"), F.col("simhash").alias("fp_a"), "bucket")
     b = blocks.select(F.col("id").alias("id_b"), F.col("simhash").alias("fp_b"), "bucket")

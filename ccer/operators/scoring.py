@@ -139,7 +139,8 @@ _U32 = 4294967295  # lift int32-viewed-uint32 sketch values back to unsigned
 def _with_jvm_set_cosine(df: DataFrame, k: int) -> DataFrame:
     """Add ``s_set`` — the KMV set-cosine — as JVM column algebra over the
     slim pair row, double-for-double identical to ``_set_cosine_batch``
-    (asserted by the backend-parity test in tests/test_cluster.py):
+    (asserted by test_scoring_backend_parity in tests/test_pipeline.py,
+    which compares round(s_set, 12) across all three backends):
 
     - exact branch (both true set sizes fit the sketch): |A∩B|/√(|A||B|)
       with the intersection from ``array_intersect`` (sketch == set);
@@ -268,8 +269,16 @@ def score_pairs(
         .join(fb, pairs.id_b == fb._fid_b)
         .drop("_fid_b")
     )
+    # three-valued logic trap: with only `uh_a.isNotNull() & (uh_a == uh_b)`
+    # a pair where uh_a is set but uh_b is NULL (malformed url on one side)
+    # yields NULL, which crashes the Arrow tier (`~NULL`) and silently
+    # drops the pair from the sql backend's filters. Both hashes must be
+    # present for url identity to hold.
     slim = slim.withColumn(
-        "same_url", F.col("uh_a").isNotNull() & (F.col("uh_a") == F.col("uh_b"))
+        "same_url",
+        F.col("uh_a").isNotNull()
+        & F.col("uh_b").isNotNull()
+        & (F.col("uh_a") == F.col("uh_b")),
     )
     if cfg.backend == "sql":
         slim = _with_jvm_set_cosine(slim, cfg.sketch_k)

@@ -340,6 +340,33 @@ def test_shingle_hashes64_windows():
     assert shingle_hashes64([], 3, {}).size == 0
 
 
+def test_shingle_hashes64_wide_k_position_distinct():
+    """For shingle_k > 6 the mix constants must NOT cycle: windows that
+    differ only by swapping two words 6 positions apart (the old j % 6
+    collision — XOR combine is commutative) must hash differently, and
+    the k<=6 table is unchanged (k=3 values are pinned by materialized
+    features)."""
+    from ccer.functions.hashing import _mix_consts, shingle_hashes64
+
+    k = 8
+    base = [f"w{i}" for i in range(k)]
+    swapped = list(base)
+    swapped[0], swapped[6] = swapped[6], swapped[0]  # positions 6 apart
+    h_base = shingle_hashes64(base, k, {})
+    h_swap = shingle_hashes64(swapped, k, {})
+    assert h_base.size == h_swap.size == 1
+    assert h_base[0] != h_swap[0]
+    # constants are pairwise-distinct for a generous range of k
+    c, r = _mix_consts(24)
+    assert len(set(zip(c.tolist(), r.tolist()))) == 24
+    assert all(int(x) % 2 == 1 for x in c[6:])  # odd multipliers stay bijective
+    # k<=6 path identical to the hand-picked table
+    import numpy as np
+    from ccer.functions.hashing import _MIX_C, _MIX_R
+    c3, r3 = _mix_consts(3)
+    assert (c3 == _MIX_C[:3]).all() and (r3 == _MIX_R[:3]).all()
+
+
 def test_simhash_fast_path_matches_weighted():
     """The unpackbits popcount path equals the float bit-matrix path."""
     import numpy as np

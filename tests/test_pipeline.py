@@ -106,9 +106,15 @@ def test_scoring_backend_parity(spark, corpus):
     mismatches = {k: (py[k], hy[k]) for k in py if py[k] != hy[k]}
     assert not mismatches, list(mismatches.items())[:5]
 
-    # sql backend: same pair set; tier-0/1 decisions identical
+    # sql backend: same pair set; s_set identical to 12 decimals (the JVM
+    # HOF cosine vs the numpy sort-merge estimator); tier-0/1 decisions
+    # identical (its kernel tier is a documented levenshtein stand-in)
     sq = rows("sql")
     assert set(sq) == set(py)
+    cos_mismatch = {
+        k: (py[k][0], sq[k][0]) for k in py if py[k][0] != sq[k][0]
+    }
+    assert not cos_mismatch, list(cos_mismatch.items())[:5]
     cfg = ScoringConfig()
     for k, (s, same, m) in py.items():
         if same or s >= cfg.cos_hi or s < cfg.lev_band[0]:
@@ -116,3 +122,40 @@ def test_scoring_backend_parity(spark, corpus):
 
     pairs.unpersist()
     feats.unpersist()
+
+
+def test_scoring_null_url_pair(spark):
+    """A pair where exactly one side has a NULL/empty normalized url must
+    score (same_url=false), not crash the Arrow tier (`~NULL`) or be
+    silently dropped by the sql backend's filters (3-valued logic on
+    `uh_a == uh_b`)."""
+    from ccer.operators.scoring import ScoringConfig, score_pairs
+
+    feats = spark.createDataFrame(
+        [
+            (1, None, "alpha title", "alpha text prefix", "en", [10, 20, 30], 3),
+            (2, "example.com/x", "alpha title", "alpha text prefix", "en", [10, 20, 30], 3),
+            (3, "", "beta title", "beta text prefix", "en", [40, 50], 2),
+            (4, "example.com/x", "alpha title", "alpha text prefix", "en", [10, 20, 30], 3),
+        ],
+        schema=(
+            "id long, url_norm string, title_norm string, text_prefix string, "
+            "lang string, sh array<int>, n_sh int"
+        ),
+    )
+    pairs = spark.createDataFrame(
+        [(2, 1), (1, 3), (2, 3), (2, 4)], schema="id_a long, id_b long"
+    )
+    for backend in ("python", "hybrid", "sql"):
+        out = {
+            (r["id_a"], r["id_b"]): (r["same_url"], r["is_match"])
+            for r in score_pairs(pairs, feats, ScoringConfig(backend=backend)).collect()
+        }
+        # no pair dropped, no crash
+        assert set(out) == {(2, 1), (1, 3), (2, 3), (2, 4)}, (backend, out)
+        assert out[(2, 1)][0] is False, backend    # url vs NULL
+        assert out[(1, 3)][0] is False, backend    # NULL vs empty
+        assert out[(2, 3)][0] is False, backend    # url vs empty
+        assert out[(2, 4)] == (True, True), backend  # identical urls still match
+        # identical sketches: the similarity override must still fire
+        assert out[(2, 1)][1] is True, (backend, out[(2, 1)])
