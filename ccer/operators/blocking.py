@@ -127,11 +127,34 @@ def block_keys(
     return out
 
 
+def block_size_profile(blocks: DataFrame) -> DataFrame:
+    """(block_key, pass_id, count) over a set of RAW (unsalted) block rows.
+
+    This is the one corpus-wide aggregation behind skew salting. In batch
+    mode it runs once over everything; in the incremental path it runs
+    over the BATCH only and is merged into the persisted prior profile
+    with ``merge_profiles`` — per-batch shuffle work then scales with the
+    batch, not the corpus (the profile itself is #distinct-keys rows of
+    20 bytes, and a prior profile persisted hash-partitioned on block_key
+    satisfies the merge's clustering requirement exchange-free)."""
+    return blocks.groupBy("block_key", "pass_id").count()
+
+
+def merge_profiles(prior: DataFrame, delta: DataFrame) -> DataFrame:
+    """Combine two block-size profiles by summing counts per key."""
+    return (
+        prior.unionByName(delta)
+        .groupBy("block_key", "pass_id")
+        .agg(F.sum("count").alias("count"))
+    )
+
+
 def salt_oversized_blocks(
     blocks: DataFrame,
     block_cap: int = 500,
     weak_pass_caps: dict | None = None,
     salt_bits_max: int = 20,
+    profile: DataFrame | None = None,
 ) -> DataFrame:
     """Subdivide blocks larger than their cap by a SimHash-prefix salt
     whose width adapts to the block size (see module docstring).
@@ -145,9 +168,13 @@ def salt_oversized_blocks(
     candidate pairs from one host, 4x the 480k count (the salted cells,
     not the matches, were the growth).
 
-    One aggregation (block-size profile) + one broadcast join of the
-    oversized-key list (the skew tail — tiny by construction) back onto
-    the block rows; the block rows are shuffled exactly once.
+    One aggregation (block-size profile — or none at all when a
+    pre-computed ``profile`` is passed, the incremental path) + one
+    broadcast join of the oversized-key list (the skew tail — tiny by
+    construction) back onto the block rows; the block rows are shuffled
+    exactly once. Salt depth is a pure function of the profile, so
+    passing the same profile yields the same salted keys for old and new
+    rows alike (cross-batch pairs stay co-blocked).
     """
     # host is a weak signal: a same-host pair that is a REAL near-dup is
     # almost always also band- or fingerprint-blocked, so a tight cap
@@ -158,10 +185,8 @@ def salt_oversized_blocks(
         cap_col = F.when(
             F.col("pass_id") == pass_id, F.lit(min(cap, block_cap))
         ).otherwise(cap_col)
-    sizes = (
-        blocks.groupBy("block_key", "pass_id")
-        .count()
-        .withColumn("_cap", cap_col)
+    sizes = (profile if profile is not None else block_size_profile(blocks)).withColumn(
+        "_cap", cap_col
     )
     oversized = sizes.filter(F.col("count") > F.col("_cap")).select(
         "block_key",

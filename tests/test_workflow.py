@@ -51,6 +51,46 @@ def test_entity_extraction_pluggable_model(spark):
     assert "DEPARTMENT" not in heur
 
 
+def test_flair_model_parity(spark):
+    """Real-NER-model parity harness (armed, not active, in this env).
+
+    The fixture tests/fixtures/ner_org_flair.json carries the recorded
+    ORG spans of the reference's Flair model (entity_extraction.py:55-68)
+    for a fixed input set — recorded by jobs/record_ner_fixture.py on a
+    machine with torch. Here it is skipped with an explicit reason; the
+    day torch exists, dropping the real model into the pluggable factory
+    yields a green/red signal instead of silent behavioral change."""
+    import json
+    import os
+
+    fixture_path = os.path.join(
+        os.path.dirname(__file__), "fixtures", "ner_org_flair.json"
+    )
+    with open(fixture_path) as f:
+        fx = json.load(f)
+    flair = pytest.importorskip("flair", reason="torch/flair not in this environment")
+    if fx["status"] != "recorded":
+        pytest.skip(
+            "fixture unrecorded — run jobs/record_ner_fixture.py where flair exists"
+        )
+
+    from jobs.record_ner_fixture import flair_org_factory
+
+    df = spark.createDataFrame([(t,) for t in fx["inputs"]], "affiliation string")
+    ents = extract_org_entities(
+        df, "affiliation", model_factory=flair_org_factory(fx["model"])
+    )
+    got = {}
+    for r in ents.collect():
+        got.setdefault(r["source_text"], []).append(r["entity"])
+    want = {
+        t: sorted(orgs)
+        for t, orgs in zip(fx["inputs"], fx["expected_orgs"])
+        if orgs
+    }
+    assert {k: sorted(v) for k, v in got.items()} == want
+
+
 def test_entity_filter_reference_semantics(spark):
     ents = spark.createDataFrame(
         [
