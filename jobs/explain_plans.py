@@ -143,6 +143,47 @@ def main() -> None:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         shutil.rmtree(wd, ignore_errors=True)
 
+    # 8/9. standalone near-dup ops: the pair-dedup exchange must carry
+    # BARE id pairs — no signature/vector arrays riding the shuffle
+    # (signatures join back on id after dedup, like the ER scorer)
+    import re as _re2
+
+    def audit_slim_pair_exchange(name, df):
+        text = plan_of(df)
+        blocks = [b for b in text.split("\n\n") if "Exchange" in b]
+        pair_exchanges = [
+            b for b in blocks if "hashpartitioning(id_a" in b and "id_b" in b
+        ]
+        slim = bool(pair_exchanges) and all(
+            _re2.search(r"Input \[2\]", b) and "sig" not in b and "vec" not in b
+            for b in pair_exchanges
+        )
+        notes = [
+            f"{'✓' if pair_exchanges else '✗'} pair-dedup exchange present",
+            f"{'✓' if slim else '✗'} every (id_a,id_b) exchange ships exactly 2 columns, no array payload",
+        ]
+        checks.append((name, slim, notes))
+        sections.append(
+            f"## {name}\n\n" + "\n".join(f"- {n}" for n in notes)
+            + f"\n\n```\n{text[:3500]}\n```\n"
+        )
+
+    from ccer.operators.ann import embedding_neardup_pairs
+    from ccer.operators.dedup import minhash_neardup_pairs
+
+    docs500 = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .limit(500)
+        .select("doc_id", "text")
+    )
+    audit_slim_pair_exchange(
+        "minhash_neardup_slim_exchange", minhash_neardup_pairs(docs500)
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(500)
+    audit_slim_pair_exchange(
+        "embedding_neardup_slim_exchange", embedding_neardup_pairs(emb)
+    )
+
     n_ok = sum(1 for _, ok, _ in checks if ok)
     header = (
         "# BENCH/PLANS — physical-plan audit\n\n"
