@@ -176,13 +176,20 @@ def main() -> None:
         .limit(500)
         .select("doc_id", "text")
     )
-    audit_slim_pair_exchange(
-        "minhash_neardup_slim_exchange", minhash_neardup_pairs(docs500)
-    )
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(500)
-    audit_slim_pair_exchange(
-        "embedding_neardup_slim_exchange", embedding_neardup_pairs(emb)
-    )
+    # disable broadcast: at audit scale every join would broadcast and the
+    # pair dedup would aggregate without any exchange — the check must see
+    # the shuffle shape these plans have at scale
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        audit_slim_pair_exchange(
+            "minhash_neardup_slim_exchange", minhash_neardup_pairs(docs500)
+        )
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(500)
+        audit_slim_pair_exchange(
+            "embedding_neardup_slim_exchange", embedding_neardup_pairs(emb)
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
 
     n_ok = sum(1 for _, ok, _ in checks if ok)
     header = (
