@@ -65,26 +65,41 @@ def connected_components(
     ``component`` = min record id of the component. Nodes present in the
     edge list only; the pipeline unions in singletons afterwards.
 
-    Convergence detection: an exact, order-insensitive digest
-    (count, Σ xxhash64 as decimal(38,0) — overflow-free under ANSI mode)
-    computed over the just-checkpointed edges; the digest job reads the
-    materialized checkpoint, so it costs one cheap cached-RDD pass, not a
-    recomputation.
+    Convergence detection: the loop stops as soon as the edge set IS a
+    converged star forest — every source points at exactly one target
+    (count == distinct sources) and no target is itself a source (no
+    depth-2 chains). Both checks read the just-checkpointed rows (cheap
+    cached-RDD passes). This is a direct structural test, so it breaks
+    WITHOUT computing the extra confirmation round that a
+    digest-equality test needs — one full large-star/small-star round
+    saved per run, and each round is latency-bound (several shuffle
+    barriers) rather than data-bound once the graph has collapsed.
+
+    Why the test is sufficient: small-star output always has
+    id_b < id_a (targets are per-star minima), so a depth-1 forest with
+    unique sources maps every node to its star's minimum, and such a
+    forest is a fixed point of both star operations (Kiveris et al.'s
+    converged state).
     """
     current = edges.select("id_a", "id_b").filter(F.col("id_a") != F.col("id_b")).distinct()
     current = current.localCheckpoint(eager=True)
-    prev_digest = None
     for _ in range(max_iterations):
         current = _small_star(_large_star(current))
         current = current.localCheckpoint(eager=True)
         row = current.agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.xxhash64("id_a", "id_b").cast("decimal(38,0)")).alias("h"),
+            F.countDistinct("id_a").alias("nd"),
         ).collect()[0]
-        digest = (row["n"], row["h"])
-        if digest == prev_digest:
-            break
-        prev_digest = digest
+        if row["n"] == row["nd"]:
+            # unique sources; converged iff additionally no chains
+            targets_that_are_sources = (
+                current.select("id_b")
+                .join(current.select(F.col("id_a").alias("id_b")), "id_b", "left_semi")
+                .limit(1)
+                .count()
+            )
+            if targets_that_are_sources == 0:
+                break
     # converged star graph: every edge is (node, root); roots map to themselves
     nodes = current.select(F.col("id_a").alias("id"), F.col("id_b").alias("component"))
     roots = current.select(F.col("id_b").alias("id"), F.col("id_b").alias("component"))

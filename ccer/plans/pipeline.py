@@ -18,6 +18,8 @@ kill the job after any stage and the next run does not repeat it.
 
 from __future__ import annotations
 
+import time
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ccer.operators.blocking import block_keys, candidate_pairs, salt_oversized_blocks
@@ -92,7 +94,11 @@ def run_pipeline(
     def stage(name: str, compute, **write_kwargs):
         if store.exists(name):
             return store.read(name)
-        return store.write(compute(), name, **write_kwargs)
+        # time from BEFORE the plan is built: the scoring stage's eager
+        # localCheckpoint executes the pairwise crossing during compute(),
+        # and duration_sec must own that cost (catalog.write docstring)
+        start = time.time()
+        return store.write(compute(), name, start=start, **write_kwargs)
 
     # features is bucketed on id: the scoring stage joins it TWICE (id_a,
     # id_b) and cluster assignment once more — bucketing pays one shuffle

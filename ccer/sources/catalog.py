@@ -113,6 +113,7 @@ class StageStore:
         name: str,
         partition_by: list[str] | None = None,
         bucket_by: str | None = None,
+        start: float | None = None,
     ) -> DataFrame:
         """Materialize a stage; records lineage (row count, per-partition
         counts, duration) and marks it complete in the manifest. Returns
@@ -125,7 +126,13 @@ class StageStore:
         instead of once per consuming join). Same-session reads resolve
         through the catalog table; a resume in a fresh session falls back
         to the plain parquet path (correct, just unbucketed)."""
-        start = time.time()
+        # ``start``: pass the timestamp from BEFORE the stage's plan was
+        # built when the plan construction itself executes work (the
+        # scorer's eager localCheckpoint materializes the whole pairwise
+        # crossing at plan-build time) — otherwise duration_sec silently
+        # excludes the stage's dominant cost (measured: ~50 s of scoring
+        # invisible between 'pairs' and 'edges' at 960k pages).
+        start = time.time() if start is None else start
         if self.table_format == "iceberg":
             writer = df.writeTo(f"ccer.{name}")
             if partition_by:
