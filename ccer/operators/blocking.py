@@ -61,47 +61,46 @@ def block_keys(
             f"minhash_bands ({minhash_bands})"
         )
     rows_per_band = num_perm // minhash_bands
-    parts = []
-    base = features.select("id", "simhash", "sig", "url_norm", "host")
 
+    # ONE scan of the features table for ALL passes: every pass's keys go
+    # into one struct array that a single inline() explodes (a 4-branch
+    # union read the features parquet four times — at 10^12 rows that is
+    # three extra full-corpus scans for nothing). Conditional passes
+    # (url/host on non-empty values) emit a NULL key that a codegen'd
+    # post-explode filter drops — no interpreted HOF lambda anywhere.
+    entries = []
     if "url" in passes:
-        parts.append(
-            base.filter(F.col("url_norm") != "").select(
-                F.xxhash64(F.lit("u"), F.col("url_norm")).alias("block_key"),
+        entries.append(
+            F.struct(
+                F.when(
+                    F.col("url_norm") != "", F.xxhash64(F.lit("u"), F.col("url_norm"))
+                ).alias("block_key"),
                 F.lit(PASS_URL).alias("pass_id"),
-                "id",
-                "simhash",
             )
         )
     if "host" in passes:
-        parts.append(
-            base.filter(F.col("host") != "").select(
-                F.xxhash64(F.lit("h"), F.col("host")).alias("block_key"),
+        entries.append(
+            F.struct(
+                F.when(
+                    F.col("host") != "", F.xxhash64(F.lit("h"), F.col("host"))
+                ).alias("block_key"),
                 F.lit(PASS_HOST).alias("pass_id"),
-                "id",
-                "simhash",
             )
         )
     if "minhash" in passes:
-        band_cols = [
-            F.xxhash64(
-                F.lit("m"),
-                F.lit(band),
-                F.slice("sig", band * rows_per_band + 1, rows_per_band),
+        for band in range(minhash_bands):
+            entries.append(
+                F.struct(
+                    F.xxhash64(
+                        F.lit("m"),
+                        F.lit(band),
+                        F.slice("sig", band * rows_per_band + 1, rows_per_band),
+                    ).alias("block_key"),
+                    F.lit(PASS_MINHASH).alias("pass_id"),
+                )
             )
-            for band in range(minhash_bands)
-        ]
-        parts.append(
-            base.select(
-                F.explode(F.array(*band_cols)).alias("block_key"),
-                F.lit(PASS_MINHASH).alias("pass_id"),
-                "id",
-                "simhash",
-            )
-        )
     if "simhash" in passes:
         shift = 64 - simhash_bits
-        key_cols = []
         for rot in simhash_rotations:
             if rot == 0:
                 rotated = F.col("simhash")
@@ -109,22 +108,31 @@ def block_keys(
                 rotated = F.shiftleft("simhash", rot).bitwiseOR(
                     F.shiftrightunsigned("simhash", 64 - rot)
                 )
-            key_cols.append(
-                F.xxhash64(F.lit("s"), F.lit(rot), F.shiftrightunsigned(rotated, shift))
+            entries.append(
+                F.struct(
+                    F.xxhash64(
+                        F.lit("s"), F.lit(rot), F.shiftrightunsigned(rotated, shift)
+                    ).alias("block_key"),
+                    F.lit(PASS_SIMHASH).alias("pass_id"),
+                )
             )
-        parts.append(
-            base.select(
-                F.explode(F.array(*key_cols)).alias("block_key"),
-                F.lit(PASS_SIMHASH).alias("pass_id"),
-                "id",
-                "simhash",
-            )
-        )
+    if not entries:
+        raise ValueError(f"no blocking passes selected from {passes!r}")
 
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    return (
+        features.select(
+            "id",
+            "simhash",
+            F.explode(F.array(*entries)).alias("_e"),
+        )
+        .select(
+            F.col("_e.block_key").alias("block_key"),
+            F.col("_e.pass_id").alias("pass_id"),
+            "id",
+            "simhash",
+        )
+        .filter(F.col("block_key").isNotNull())
+    )
 
 
 def block_size_profile(blocks: DataFrame) -> DataFrame:
