@@ -9,6 +9,10 @@
 - ``lsh_topk``        random-hyperplane-bucketed approximate top-k — the
                       scale path: candidate set shrinks from N to the
                       bucket population before any cosine is computed
+- ``ivf_topk``        IVF approximate top-k: distributed-KMeans coarse
+                      quantizer, nprobe inverted lists — the alternative
+                      scale path when hyperplane buckets are too skewed
+                      (list sizes follow the data's cluster structure)
 
 At 10^12 rows the brute-force path is a deliberate crossJoin(broadcast)
 — linear in corpus size per query batch; the LSH path buckets the corpus
@@ -133,6 +137,106 @@ def embedding_neardup_pairs(
         .withColumn("cosine", cosine_col("vec_a", "vec_b"))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def _centroid_probes(
+    df: DataFrame, id_col: str, vec_col: str, centroids, nprobe: int
+) -> DataFrame:
+    """(id, centroid, probe) rows: each vector's ``nprobe`` nearest
+    centroids by squared euclidean, rank-ordered (probe 0 = assignment).
+    One Arrow pass, no shuffle — the centroid matrix (k × dim, tiny by
+    construction) ships inside the task closure; ties break on the lower
+    centroid index (numpy stable argsort), so identical vectors ALWAYS
+    produce identical probe lists — the property the planted-replica
+    oracle relies on."""
+    import numpy as np
+    import pandas as pd
+
+    cent = np.asarray(centroids, dtype=np.float64)
+    c_sq = (cent**2).sum(axis=1)
+
+    def gen(iterator):
+        for pdf in iterator:
+            if len(pdf) == 0:
+                continue
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            d = (m**2).sum(axis=1)[:, None] - 2.0 * (m @ cent.T) + c_sq[None, :]
+            order = np.argsort(d, axis=1, kind="stable")[:, :nprobe]
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "id": np.repeat(pdf[id_col].to_numpy().astype("int64"), nprobe),
+                    "centroid": order.reshape(-1).astype(np.int32),
+                    "probe": np.tile(np.arange(nprobe, dtype=np.int32), n),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        gen, schema="id long, centroid int, probe int"
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+    train_fraction: float = 1.0,
+) -> DataFrame:
+    """IVF approximate top-k: a KMeans coarse quantizer partitions the
+    corpus into ``n_centroids`` inverted lists; each query scores only
+    the lists of its ``nprobe`` nearest centroids. The scale path when
+    hyperplane LSH's bucket population is too skewed: list sizes follow
+    the data's cluster structure and ``nprobe`` trades recall for
+    compute directly.
+
+    Spark-first shape: distributed KMeans (pyspark.ml) trains the
+    centroids (``train_fraction`` subsamples the fit at large corpus
+    sizes — the quantizer needs a sketch of the distribution, not every
+    row); assignment and probing are one shuffle-free Arrow pass each;
+    candidate generation is an equi-join on the 4-byte centroid id with
+    bare ids (vectors join back only for surviving candidates — the
+    slim-crossing pattern, scoring.py:253-270). Recall < 1.0 by
+    construction, 1.0 for exact-duplicate vectors (identical vectors
+    share probe lists)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    if train_fraction < 1.0:
+        train = train.sample(fraction=train_fraction, seed=seed)
+    model = KMeans(k=n_centroids, seed=seed, maxIter=10).fit(train)
+    centroids = [np.asarray(c, dtype="float64").tolist() for c in model.clusterCenters()]
+
+    assign = _centroid_probes(corpus, id_col, vec_col, centroids, nprobe=1).select(
+        F.col("id").alias("neighbor_id"), "centroid"
+    )
+    probes = _centroid_probes(queries, id_col, vec_col, centroids, nprobe=nprobe).select(
+        F.col("id").alias("query_id"), "centroid"
+    )
+    cand = (
+        probes.join(assign, "centroid")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .dropDuplicates()
+    )
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = cand.join(F.broadcast(qv), "query_id").join(cv, "neighbor_id").withColumn(
+        "cosine", cosine_col("qv", "cv")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
     )
 
 

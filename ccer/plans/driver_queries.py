@@ -20,7 +20,13 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F, types as T
 
-from ccer.operators.ann import brute_force_topk, cosine_col, embedding_neardup_pairs, lsh_topk
+from ccer.operators.ann import (
+    brute_force_topk,
+    cosine_col,
+    embedding_neardup_pairs,
+    ivf_topk,
+    lsh_topk,
+)
 from ccer.operators.dedup import (
     exact_dedup_groups,
     minhash_neardup_pairs,
@@ -669,6 +675,48 @@ FROM s GROUP BY user_id, session_idx
 """
 
 
+def q_event_time_windows(spark, sf_dir):
+    """Tumbling event-time windows via the streaming module's batch twin
+    (ccer/streaming/windows.py — one code path for batch and streams;
+    the watermark/late-data semantics are exercised by
+    tests/test_streaming.py on a real file stream)."""
+    from ccer.streaming.windows import windowed_event_counts
+
+    ev = _t(spark, sf_dir, "events")
+    return windowed_event_counts(ev, "1 hour")
+
+
+SQL_EVENT_TIME_WINDOWS = """
+SELECT event_type,
+       CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_sliding_windows(spark, sf_dir):
+    """Sliding event-time windows (1 h duration, 30 min slide): every
+    row lands in dur/slide = 2 windows, starts aligned to the slide."""
+    from ccer.streaming.windows import sliding_window_counts
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 200)
+    return sliding_window_counts(ev, "1 hour", "30 minutes")
+
+
+SQL_SLIDING_WINDOWS = """
+WITH b AS (
+  SELECT event_type, value, CAST(floor(epoch(ts) / 1800) AS BIGINT) AS bkt
+  FROM events WHERE user_id < 200
+)
+SELECT event_type, (bkt - t.j) * 1800 AS window_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM b CROSS JOIN range(2) t(j)
+GROUP BY 1, 2
+"""
+
+
 def q_posexplode_index(spark, sf_dir):
     """posexplode keeps array positions as integer columns — the Spark
     replacement for the reference's bracketed-path index encoding
@@ -931,6 +979,15 @@ def q_ann_topk_lsh(spark, sf_dir):
     return lsh_topk(corpus, queries, k=5)
 
 
+def q_ann_topk_ivf(spark, sf_dir):
+    """IVF approximate top-k (KMeans coarse quantizer + nprobe inverted
+    lists) — the second ANN scale path alongside hyperplane LSH."""
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") < 1500)
+    queries = emb.filter(F.col("vec_id") < 15)
+    return ivf_topk(corpus, queries, k=5, n_centroids=16, nprobe=4)
+
+
 # ---------------------------------------------------------------------
 # LSH verification queries: derived checks that ARE SQL-expressible, so
 # the non-SQL LSH operators get a hard oracle gate alongside their
@@ -1083,6 +1140,28 @@ def q_ann_topk_lsh_verified(spark, sf_dir):
     return lsh_topk(corpus.unionByName(reps), queries, k=5)
 
 
+def q_ann_topk_ivf_verified(spark, sf_dir):
+    """Structural gate for IVF top-k: same planted-replica construction
+    as the LSH gate. Each query's 5 exact replicas share its probe list
+    (identical vectors → identical stable-argsort centroid ranking, so
+    the replicas' assigned centroid is the query's probe 0), hence the
+    exhaustive top-5 — exactly the replicas at cosine 1.0 — must be
+    returned regardless of which centroids KMeans converged to. Oracle =
+    exhaustive SQL top-k over the same planted corpus."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = emb.filter(F.col("vec_id") < 1500)
+    queries = emb.filter(F.col("vec_id") < 15)
+    reps = queries.select(
+        "vec_id", "embedding", F.explode(F.sequence(F.lit(0), F.lit(4))).alias("j")
+    ).select(
+        (F.lit(100000) + F.col("vec_id") * 10 + F.col("j")).alias("vec_id"),
+        "embedding",
+    )
+    return ivf_topk(
+        corpus.unionByName(reps), queries, k=5, n_centroids=16, nprobe=4
+    )
+
+
 SQL_ANN_LSH_VERIFIED = """
 WITH rep AS (
   SELECT 100000 + q.vec_id * 10 + t.j AS vec_id, q.embedding
@@ -1106,6 +1185,13 @@ WITH rep AS (
 SELECT query_id, neighbor_id, round(raw_cos, 6) AS cosine, rank
 FROM ranked WHERE rank <= 5
 """
+
+# The IVF gate plants the SAME 5 exact replicas per query as the LSH
+# gate, so the ground truth — exhaustive top-5 over the planted corpus —
+# is literally the same SQL. Two different approximate operators, one
+# oracle: each must reproduce the exhaustive answer exactly because the
+# planted replicas dominate every query's true top-5 at cosine 1.0.
+SQL_ANN_IVF_VERIFIED = SQL_ANN_LSH_VERIFIED
 
 
 def q_lang_id(spark, sf_dir):
@@ -1474,6 +1560,8 @@ QUERIES = {
     "rollup_agg": q_rollup_agg,
     "running_window": q_running_window,
     "sessionize": q_sessionize,
+    "event_time_windows": q_event_time_windows,
+    "sliding_windows": q_sliding_windows,
     "posexplode_index": q_posexplode_index,
     "extract_doi_kernel": q_extract_doi_kernel,
     # fuzzy kernels
@@ -1489,11 +1577,13 @@ QUERIES = {
     "embedding_neardup_lsh": q_embedding_neardup_lsh,
     "ann_topk": q_ann_topk,
     "ann_topk_lsh": q_ann_topk_lsh,
+    "ann_topk_ivf": q_ann_topk_ivf,
     # LSH verification gates (SQL-oracled equality checks for the above)
     "minhash_neardup_recall": q_minhash_neardup_recall,
     "simhash_neardup_verified": q_simhash_neardup_verified,
     "embedding_neardup_lsh_verified": q_embedding_neardup_lsh_verified,
     "ann_topk_lsh_verified": q_ann_topk_lsh_verified,
+    "ann_topk_ivf_verified": q_ann_topk_ivf_verified,
     "lang_id": q_lang_id,
     "quality_scores": q_quality_scores,
     "token_counts": q_token_counts,
@@ -1532,6 +1622,8 @@ ORACLES = {
     "rollup_agg": SQL_ROLLUP,
     "running_window": SQL_RUNNING_WINDOW,
     "sessionize": SQL_SESSIONIZE,
+    "event_time_windows": SQL_EVENT_TIME_WINDOWS,
+    "sliding_windows": SQL_SLIDING_WINDOWS,
     "posexplode_index": SQL_POSEXPLODE,
     "extract_doi_kernel": SQL_EXTRACT_DOI,
     "jw_similarity_pairs": SQL_JW_PAIRS,
@@ -1551,14 +1643,15 @@ ORACLES = {
     "simhash_neardup_verified": SQL_SIMHASH_VERIFIED,
     "embedding_neardup_lsh_verified": SQL_EMBEDDING_LSH_VERIFIED,
     "ann_topk_lsh_verified": SQL_ANN_LSH_VERIFIED,
+    "ann_topk_ivf_verified": SQL_ANN_IVF_VERIFIED,
     "er_cluster_invariants": SQL_ER_INVARIANTS,
     "blocking_keys": SQL_BLOCKING_KEYS,
     # set ops / grouping sets
     "grouping_sets_agg": SQL_GROUPING_SETS,
     "intersect_channels": SQL_INTERSECT,
     "except_channels": SQL_EXCEPT,
-    # no oracle (raw LSH outputs, not SQL-expressible — each is gated by
-    # its *_verified / *_recall twin above): minhash_neardup,
-    # simhash_neardup, embedding_neardup_lsh, ann_topk_lsh,
+    # no oracle (raw LSH/IVF outputs, not SQL-expressible — each is
+    # gated by its *_verified / *_recall twin above): minhash_neardup,
+    # simhash_neardup, embedding_neardup_lsh, ann_topk_lsh, ann_topk_ivf,
     # er_cluster_documents
 }
