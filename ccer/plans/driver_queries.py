@@ -1319,6 +1319,239 @@ FROM documents WHERE doc_id < 300
 """
 
 
+# ---------------------------------------------------------------------
+# Quality/curation filters (operators/quality.py). The documents table
+# is single-line word salad, so the line-based queries first lift each
+# doc into a deterministic multi-line form — planted duplicates /
+# punctuation / PII derived from doc_id, constructed identically in
+# Spark and the SQL oracle — then run the operator on that.
+# ---------------------------------------------------------------------
+
+def _multiline_text(docs: DataFrame) -> DataFrame:
+    """Three lines from overlapping text slices; every 3rd doc repeats
+    line 1 as line 3 (a planted duplicate line)."""
+    l1 = F.substring("text", 1, 60)
+    l2 = F.substring("text", 31, 60)
+    l3 = F.when(F.col("doc_id") % 3 == 0, l1).otherwise(F.substring("text", 61, 60))
+    return docs.select("doc_id", F.concat_ws("\n", l1, l2, l3).alias("text"))
+
+
+_SQL_MULTILINE = """
+  SELECT doc_id,
+         substr(text, 1, 60) || chr(10) || substr(text, 31, 60) || chr(10) ||
+         CASE WHEN doc_id % 3 = 0 THEN substr(text, 1, 60)
+              ELSE substr(text, 61, 60) END AS text
+  FROM documents
+"""
+
+
+def q_repetition_signals(spark, sf_dir):
+    """Gopher repetition signals over planted-duplicate multi-line docs."""
+    from ccer.operators.quality import repetition_signals
+
+    docs = _multiline_text(_t(spark, sf_dir, "documents"))
+    return repetition_signals(docs).select(
+        "doc_id", "n_lines", "n_distinct_lines", "dup_line_frac", "dup_line_char_frac"
+    )
+
+
+SQL_REPETITION = (
+    "WITH prep AS (" + _SQL_MULTILINE + r"""
+), l AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                     x -> x <> '') AS lines
+  FROM prep
+), m AS (
+  SELECT doc_id, lines, list_distinct(lines) AS dlines,
+         coalesce(list_sum(list_transform(lines, x -> length(x))), 0) AS chars,
+         coalesce(list_sum(list_transform(list_distinct(lines), x -> length(x))), 0) AS dchars
+  FROM l
+)
+SELECT doc_id, len(lines) AS n_lines, len(dlines) AS n_distinct_lines,
+       CASE WHEN len(lines) > 0
+            THEN round(1.0 - CAST(len(dlines) AS DOUBLE) / len(lines), 6)
+            ELSE 0.0 END AS dup_line_frac,
+       CASE WHEN chars > 0
+            THEN round(CAST(chars - dchars AS DOUBLE) / chars, 6)
+            ELSE 0.0 END AS dup_line_char_frac
+FROM m
+"""
+)
+
+
+def q_top_bigram(spark, sf_dir):
+    """Per-doc most-frequent word bigram + its coverage fraction (the
+    Gopher top-n-gram rule) — explode + one groupBy + per-doc max."""
+    from ccer.operators.quality import top_bigram_stats
+
+    return top_bigram_stats(_t(spark, sf_dir, "documents"))
+
+
+SQL_TOP_BIGRAM = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents
+), b AS (
+  SELECT doc_id, t[i] || ' ' || t[i + 1] AS bigram
+  FROM toks CROSS JOIN UNNEST(range(1, len(t))) AS u(i)
+  WHERE len(t) >= 2
+), c AS (
+  SELECT doc_id, bigram, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY 1, 2
+)
+SELECT doc_id, sum(cnt) OVER (PARTITION BY doc_id) AS n_bigrams,
+       bigram AS top_bigram, cnt AS top_bigram_count,
+       round(CAST(cnt AS DOUBLE) / sum(cnt) OVER (PARTITION BY doc_id), 6)
+         AS top_bigram_frac
+FROM c
+QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, bigram) = 1
+"""
+
+
+def q_c4_filters(spark, sf_dir):
+    """C4 heuristic keep/drop over multi-line docs with planted
+    terminal punctuation, lorem-ipsum, and brace contamination."""
+    from ccer.operators.quality import c4_filters
+
+    base = _t(spark, sf_dir, "documents")
+    l1 = F.concat(F.substring("text", 1, 50), F.lit("."))
+    l2 = F.concat(
+        F.substring("text", 51, 50),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("?")).otherwise(F.lit("")),
+    )
+    l3 = (
+        F.when(F.col("doc_id") % 7 == 0, F.lit("lorem ipsum dolor sit amet"))
+        .when(F.col("doc_id") % 11 == 0, F.lit("var x = {1: 2}"))
+        .otherwise(F.concat(F.substring("text", 101, 50), F.lit(".")))
+    )
+    docs = base.select("doc_id", F.concat_ws("\n", l1, l2, l3).alias("text"))
+    return c4_filters(docs).select(
+        "doc_id",
+        "flag_too_short",
+        "flag_lorem",
+        "flag_braces",
+        "terminal_punct_frac",
+        "keep",
+    )
+
+
+SQL_C4_FILTERS = r"""
+WITH prep AS (
+  SELECT doc_id,
+         substr(text, 1, 50) || '.' || chr(10) ||
+         substr(text, 51, 50) ||
+           CASE WHEN doc_id % 4 = 0 THEN '?' ELSE '' END || chr(10) ||
+         CASE WHEN doc_id % 7 = 0 THEN 'lorem ipsum dolor sit amet'
+              WHEN doc_id % 11 = 0 THEN 'var x = {1: 2}'
+              ELSE substr(text, 101, 50) || '.' END AS text
+  FROM documents
+), l AS (
+  SELECT doc_id, text,
+         list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                     x -> x <> '') AS lines
+  FROM prep
+), f AS (
+  SELECT doc_id,
+         len(string_split_regex(trim(text), '\s+')) < 5 AS flag_too_short,
+         contains(lower(text), 'lorem ipsum') AS flag_lorem,
+         contains(text, '{') AS flag_braces,
+         CASE WHEN len(lines) > 0
+              THEN round(CAST(len(list_filter(lines, x -> regexp_matches(x, '[.!?"]$'))) AS DOUBLE)
+                         / len(lines), 6)
+              ELSE 0.0 END AS terminal_punct_frac
+  FROM l
+)
+SELECT *, (NOT flag_too_short AND NOT flag_lorem AND NOT flag_braces
+           AND terminal_punct_frac >= 0.6) AS keep
+FROM f
+"""
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII redaction + counts over docs with planted emails / phones /
+    IPv4s; the redacted text is md5'd so the value hash still covers
+    every substituted byte."""
+    from ccer.operators.quality import pii_redact
+
+    base = _t(spark, sf_dir, "documents")
+    pii = F.concat(
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or call +1 415 555 01"),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+        F.when(
+            F.col("doc_id") % 6 == 0,
+            F.concat(
+                F.lit(" from 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit("."),
+                ((F.col("doc_id") * 7) % 256).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    docs = base.select("doc_id", F.concat(F.col("text"), pii).alias("text"))
+    return pii_redact(docs).select(
+        "doc_id",
+        "n_emails",
+        "n_phones",
+        "n_ips",
+        F.md5("text_redacted").alias("fp_redacted"),
+    )
+
+
+SQL_PII_REDACT = r"""
+WITH prep AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+         '@mail.example.com or call +1 415 555 01' ||
+         lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') ||
+         CASE WHEN doc_id % 6 = 0
+              THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' ||
+                   CAST((doc_id * 7) % 256 AS VARCHAR)
+              ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '\+[0-9][0-9 ()-]{6,20}[0-9]')) AS INT) AS n_phones,
+       CAST(len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INT) AS n_ips,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\+[0-9][0-9 ()-]{6,20}[0-9]', '<PHONE>', 'g'),
+             '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'))
+         AS fp_redacted
+FROM prep
+"""
+
+
+def q_winnow_fingerprints(spark, sf_dir):
+    """Winnowing fingerprints (k=8, w=4): any shared substring of
+    length >= 11 chars between docs yields a shared fp. Exploded
+    (doc_id, fp) rows; md5-prefix hashing keeps the oracle bit-exact."""
+    from ccer.operators.quality import winnow_fingerprints
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    return winnow_fingerprints(docs, k=8, w=4)
+
+
+SQL_WINNOW = r"""
+WITH c AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS s
+  FROM documents WHERE doc_id < 150
+), g AS (
+  SELECT doc_id,
+         list_transform(range(1, length(s) - 8 + 2),
+                        i -> substr(md5(substr(s, i, 8)), 1, 8)) AS hs
+  FROM c WHERE length(s) >= 11
+), w AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(hs) - 4 + 2),
+                                      j -> list_min(list_slice(hs, j, j + 3)))) AS fps
+  FROM g
+)
+SELECT doc_id, unnest(fps) AS fp FROM w
+"""
+
+
 # =====================================================================
 # ER pipeline over pages derived from documents (rows-only checks)
 # =====================================================================
@@ -1589,6 +1822,12 @@ QUERIES = {
     "token_counts": q_token_counts,
     "fingerprint": q_fingerprint,
     "binary_meta": q_binary_meta,
+    # quality/curation filters (operators/quality.py)
+    "repetition_signals": q_repetition_signals,
+    "top_bigram": q_top_bigram,
+    "c4_filters": q_c4_filters,
+    "pii_redact": q_pii_redact,
+    "winnow_fingerprints": q_winnow_fingerprints,
     # set ops / grouping sets
     "grouping_sets_agg": q_grouping_sets_agg,
     "intersect_channels": q_intersect_channels,
@@ -1638,6 +1877,11 @@ ORACLES = {
     "token_counts": SQL_TOKEN_COUNTS,
     "fingerprint": SQL_FINGERPRINT,
     "binary_meta": SQL_BINARY_META,
+    "repetition_signals": SQL_REPETITION,
+    "top_bigram": SQL_TOP_BIGRAM,
+    "c4_filters": SQL_C4_FILTERS,
+    "pii_redact": SQL_PII_REDACT,
+    "winnow_fingerprints": SQL_WINNOW,
     # LSH / ER verification gates (derived SQL-expressible equality checks)
     "minhash_neardup_recall": SQL_MINHASH_RECALL,
     "simhash_neardup_verified": SQL_SIMHASH_VERIFIED,

@@ -165,3 +165,82 @@ def test_yaml_scorer_backend(tmp_path):
     assert pc.block_cap == 99
     # default is the hybrid backend
     assert CcerConfig().pipeline_config().scoring.backend == "hybrid"
+
+
+def test_repetition_and_c4(spark):
+    """Gopher/C4 heuristics on crafted docs: a fully-templated doc scores
+    dup_line_frac 0.5+, clean punctuated prose keeps, contaminated drops."""
+    from ccer.operators.quality import c4_filters, repetition_signals
+
+    rows = [
+        (1, "same line\nsame line\nother\nsame line"),
+        (2, "This is prose.\nIt continues here.\nAnd ends properly."),
+        (3, "short"),
+        (4, "lorem ipsum filler text here we go.\nMore text follows now."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    rep = {r["doc_id"]: r for r in repetition_signals(df).collect()}
+    assert rep[1]["n_lines"] == 4 and rep[1]["n_distinct_lines"] == 2
+    assert rep[1]["dup_line_frac"] == 0.5
+    # 18 duplicated chars of 32 total line chars
+    assert rep[1]["dup_line_char_frac"] == round(18 / 32, 6)
+    assert rep[2]["dup_line_frac"] == 0.0
+    c4 = {r["doc_id"]: r for r in c4_filters(df).collect()}
+    assert c4[2]["keep"] and c4[2]["terminal_punct_frac"] == 1.0
+    assert not c4[1]["keep"]  # no terminal punctuation
+    assert c4[3]["flag_too_short"] and not c4[3]["keep"]
+    assert c4[4]["flag_lorem"] and not c4[4]["keep"]
+
+
+def test_pii_redact(spark):
+    """Emails, +-prefixed phones, and IPv4s are redacted and counted;
+    clean text passes through byte-identical with zero counts."""
+    from ccer.operators.quality import pii_redact
+
+    rows = [
+        (1, "write a@b.co or c.d+tag@sub.example.org today"),
+        (2, "call +1 415 555 0100 or +44 (0)20 7946 0958 now"),
+        (3, "server at 10.0.0.1 and 192.168.255.254 responded"),
+        (4, "no pii here, just text with numbers 12345"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in pii_redact(df).collect()}
+    assert out[1]["n_emails"] == 2 and out[1]["text_redacted"] == "write <EMAIL> or <EMAIL> today"
+    assert out[2]["n_phones"] == 2 and out[2]["text_redacted"] == "call <PHONE> or <PHONE> now"
+    assert out[3]["n_ips"] == 2 and out[3]["text_redacted"] == "server at <IP> and <IP> responded"
+    assert out[4]["text_redacted"] == rows[3][1]
+    assert out[4]["n_emails"] == out[4]["n_phones"] == out[4]["n_ips"] == 0
+
+
+def test_winnow_guarantee(spark):
+    """The winnowing contract: two docs sharing a substring of length
+    >= k + w - 1 share at least one fingerprint; disjoint-alphabet docs
+    share none."""
+    from ccer.operators.quality import winnow_fingerprints
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        (1, "prefix one " + shared + " suffix alpha"),
+        (2, "completely different head " + shared + " and tail"),
+        (3, "zzzz yyyy xxxx wwww vvvv uuuu tttt ssss rrrr qqqq"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = winnow_fingerprints(df, k=8, w=4)
+    fps = {i: set() for i in (1, 2, 3)}
+    for r in out.collect():
+        fps[r["doc_id"]].add(r["fp"])
+    assert fps[1] & fps[2], "shared 43-char substring must share a fingerprint"
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+
+
+def test_top_bigram(spark):
+    from ccer.operators.quality import top_bigram_stats
+
+    rows = [(1, "a b a b a b c"), (2, "x y"), (3, "solo")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in top_bigram_stats(df).collect()}
+    # "a b" occurs 3 of 6 bigrams
+    assert out[1]["top_bigram"] == "a b" and out[1]["top_bigram_count"] == 3
+    assert out[1]["n_bigrams"] == 6 and out[1]["top_bigram_frac"] == 0.5
+    assert out[2]["top_bigram"] == "x y" and out[2]["top_bigram_frac"] == 1.0
+    assert 3 not in out  # single-token doc has no bigrams
