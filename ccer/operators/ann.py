@@ -229,7 +229,14 @@ def ivf_topk(
     )
     qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
-    scored = cand.join(F.broadcast(qv), "query_id").join(cv, "neighbor_id").withColumn(
+    # join order matters at scale: corpus vectors attach via the
+    # neighbor_id equi-join FIRST (bare id pairs on the shuffle; bucket
+    # the corpus on vec_id to eliminate even that exchange), and the
+    # small query side broadcasts LAST — if qv joined first, every
+    # candidate pair would ship the query vector through the
+    # neighbor_id exchange (audited: ivf_slim_candidates in
+    # jobs/explain_plans.py)
+    scored = cand.join(cv, "neighbor_id").join(F.broadcast(qv), "query_id").withColumn(
         "cosine", cosine_col("qv", "cv")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
@@ -275,7 +282,14 @@ def lsh_topk(
     )
     qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
-    scored = cand.join(F.broadcast(qv), "query_id").join(cv, "neighbor_id").withColumn(
+    # join order matters at scale: corpus vectors attach via the
+    # neighbor_id equi-join FIRST (bare id pairs on the shuffle; bucket
+    # the corpus on vec_id to eliminate even that exchange), and the
+    # small query side broadcasts LAST — if qv joined first, every
+    # candidate pair would ship the query vector through the
+    # neighbor_id exchange (audited: ivf_slim_candidates in
+    # jobs/explain_plans.py)
+    scored = cand.join(cv, "neighbor_id").join(F.broadcast(qv), "query_id").withColumn(
         "cosine", cosine_col("qv", "cv")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))

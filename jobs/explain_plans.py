@@ -191,6 +191,75 @@ def main() -> None:
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
 
+    # 10. IVF top-k: the candidate-dedup exchange carries bare
+    # (query_id, neighbor_id) id pairs; vectors join back only after
+    from ccer.operators.ann import ivf_topk
+
+    emb_ivf = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < 400
+    )
+    qs = emb_ivf.filter(F.col("vec_id") < 5)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        text = plan_of(ivf_topk(emb_ivf, qs, k=3, n_centroids=4, nprobe=2))
+        blocks = [b for b in text.split("\n\n") if b.strip().startswith(("(", "Exchange"))]
+        ex_blocks = [b for b in blocks if ") Exchange" in b]
+        # every exchange that carries a candidate pair (both ids) must be
+        # vector-free: the query vector broadcasts, the corpus vector
+        # attaches on the single-id neighbor join
+        pair_ex = [
+            b for b in ex_blocks if "query_id" in b and "neighbor_id" in b
+        ]
+        slim = bool(pair_ex) and all(
+            "qv" not in b and "cv" not in b and "embedding" not in b
+            for b in pair_ex
+        )
+        notes = [
+            f"{'✓' if pair_ex else '✗'} pair-carrying exchange present ({len(pair_ex)})",
+            f"{'✓' if slim else '✗'} no exchange ships a vector alongside a candidate pair",
+        ]
+        checks.append(("ivf_slim_candidates", slim, notes))
+        sections.append(
+            "## ivf_slim_candidates\n\n" + "\n".join(f"- {n}" for n in notes)
+            + f"\n\n```\n{text[:3500]}\n```\n"
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+    # 11. quality filters are shuffle-free per-row algebra (the whole
+    # point of their scale story: 10^12 docs, zero exchanges)
+    from ccer.operators.quality import (
+        c4_filters,
+        pii_redact,
+        repetition_signals,
+        winnow_fingerprints,
+    )
+
+    # filter (partition-local), not limit — a global limit injects its own
+    # SinglePartition exchange and would fail the no-shuffle check spuriously
+    docs_q = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 200
+    )
+    combined = []
+    for qname, qdf in [
+        ("repetition_signals", repetition_signals(docs_q)),
+        ("c4_filters", c4_filters(docs_q)),
+        ("pii_redact", pii_redact(docs_q)),
+        ("winnow_fingerprints", winnow_fingerprints(docs_q, k=8, w=4)),
+    ]:
+        t = plan_of(qdf)
+        combined.append((qname, "Exchange" not in t, t))
+    allok = all(ok for _, ok, _ in combined)
+    notes = [
+        f"{'✓' if ok else '✗'} {qn}: no Exchange in plan" for qn, ok, _ in combined
+    ]
+    checks.append(("quality_filters_no_shuffle", allok, notes))
+    sections.append(
+        "## quality_filters_no_shuffle\n\n"
+        + "\n".join(f"- {n}" for n in notes)
+        + f"\n\n```\n{combined[0][2][:1800]}\n```\n"
+    )
+
     n_ok = sum(1 for _, ok, _ in checks if ok)
     header = (
         "# BENCH/PLANS — physical-plan audit\n\n"
