@@ -100,6 +100,17 @@ def main() -> None:
 
     timed("lang_quality", lang_quality)
 
+    timed("ann_topk_ivf", lambda: dq.q_ann_topk_ivf(spark, sf_dir).count())
+
+    def curation_filters():
+        a = dq.q_repetition_signals(spark, sf_dir).count()
+        b = dq.q_c4_filters(spark, sf_dir).count()
+        c = dq.q_pii_redact(spark, sf_dir).count()
+        return a + b + c
+
+    timed("curation_filters", curation_filters)
+    timed("winnow_fingerprints", lambda: dq.q_winnow_fingerprints(spark, sf_dir).count())
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

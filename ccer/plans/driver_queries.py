@@ -717,6 +717,70 @@ GROUP BY 1, 2
 """
 
 
+def q_asof_join(spark, sf_dir):
+    """Backward as-of join (union+window composition — Spark has no
+    native ASOF): even events pick the latest odd event at-or-before
+    their timestamp per user. Oracle = DuckDB's native ASOF JOIN, so
+    the composition is checked against a first-class implementation."""
+    from ccer.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 400)
+    left = ev.filter(F.col("event_id") % 2 == 0).select(
+        "user_id", "ts", "event_id", "value"
+    )
+    right = (
+        ev.filter(F.col("event_id") % 2 == 1)
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    out = asof_join(left, right, key="user_id", ts_col="ts", payload_cols=("value",))
+    return out.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round("value", 2).alias("value"),
+        F.round("r_value", 2).alias("r_value"),
+        "r_ts",
+    )
+
+
+SQL_ASOF_JOIN = """
+WITH ev AS (SELECT * FROM events WHERE user_id < 400),
+l AS (SELECT user_id, ts, event_id, value FROM ev WHERE event_id % 2 = 0),
+r AS (SELECT user_id, ts, max(value) AS value FROM ev WHERE event_id % 2 = 1
+      GROUP BY 1, 2)
+SELECT l.user_id, l.ts, l.event_id, round(l.value, 2) AS value,
+       round(r.value, 2) AS r_value, r.ts AS r_ts
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
+def q_range_join(spark, sf_dir):
+    """Bounded interval self-join via time-bucketing (same-or-adjacent
+    bucket equi-join, then the exact bound) — the banding that keeps an
+    interval join linear per key; oracle = the plain theta join."""
+    from ccer.operators.temporal import range_join
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 120)
+    return range_join(ev, max_gap_sec=600)
+
+
+SQL_RANGE_JOIN = """
+WITH ev AS (SELECT event_id, user_id,
+                   -- floor, not cast: epoch() keeps sub-second fractions
+                   -- and a bare BIGINT cast would round where Spark's
+                   -- long cast truncates
+                   CAST(floor(epoch(ts)) AS BIGINT) AS sec
+            FROM events WHERE user_id < 120)
+SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+       b.sec - a.sec AS gap_sec
+FROM ev a JOIN ev b
+  ON a.user_id = b.user_id
+ AND ((b.sec - a.sec > 0 AND b.sec - a.sec <= 600)
+      OR (b.sec = a.sec AND a.event_id < b.event_id))
+"""
+
+
 def q_posexplode_index(spark, sf_dir):
     """posexplode keeps array positions as integer columns — the Spark
     replacement for the reference's bracketed-path index encoding
@@ -1795,6 +1859,8 @@ QUERIES = {
     "sessionize": q_sessionize,
     "event_time_windows": q_event_time_windows,
     "sliding_windows": q_sliding_windows,
+    "asof_join": q_asof_join,
+    "range_join": q_range_join,
     "posexplode_index": q_posexplode_index,
     "extract_doi_kernel": q_extract_doi_kernel,
     # fuzzy kernels
@@ -1863,6 +1929,8 @@ ORACLES = {
     "sessionize": SQL_SESSIONIZE,
     "event_time_windows": SQL_EVENT_TIME_WINDOWS,
     "sliding_windows": SQL_SLIDING_WINDOWS,
+    "asof_join": SQL_ASOF_JOIN,
+    "range_join": SQL_RANGE_JOIN,
     "posexplode_index": SQL_POSEXPLODE,
     "extract_doi_kernel": SQL_EXTRACT_DOI,
     "jw_similarity_pairs": SQL_JW_PAIRS,

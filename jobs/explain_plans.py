@@ -260,6 +260,29 @@ def main() -> None:
         + f"\n\n```\n{combined[0][2][:1800]}\n```\n"
     )
 
+    # 12. temporal joins: the bucketed range join must plan as a hash/SMJ
+    # equi-join (a naive ts-inequality join would be a nested loop), and
+    # the as-of composition must be one shuffle (union + window), not a
+    # per-row theta join
+    audit(
+        "range_join_equi_not_nested_loop",
+        dq.q_range_join(spark, sf_dir),
+        must_not_contain=["BroadcastNestedLoopJoin", "CartesianProduct"],
+    )
+    asof_text = plan_of(dq.q_asof_join(spark, sf_dir))
+    n_joins = asof_text.count("Join")
+    asof_ok = "Window" in asof_text and "BroadcastNestedLoopJoin" not in asof_text
+    notes = [
+        f"{'✓' if 'Window' in asof_text else '✗'} as-of runs as a window, not a join",
+        f"{'✓' if 'BroadcastNestedLoopJoin' not in asof_text else '✗'} no nested-loop join ({n_joins} Join nodes total)",
+    ]
+    checks.append(("asof_join_window_composition", asof_ok, notes))
+    sections.append(
+        "## asof_join_window_composition\n\n"
+        + "\n".join(f"- {n}" for n in notes)
+        + f"\n\n```\n{asof_text[:3500]}\n```\n"
+    )
+
     n_ok = sum(1 for _, ok, _ in checks if ok)
     header = (
         "# BENCH/PLANS — physical-plan audit\n\n"

@@ -244,3 +244,56 @@ def test_top_bigram(spark):
     assert out[1]["n_bigrams"] == 6 and out[1]["top_bigram_frac"] == 0.5
     assert out[2]["top_bigram"] == "x y" and out[2]["top_bigram_frac"] == 1.0
     assert 3 not in out  # single-token doc has no bigrams
+
+
+def test_asof_join(spark):
+    """Backward as-of: latest right at-or-before each left ts; equal
+    timestamps ARE visible; no preceding right gives NULLs."""
+    from datetime import datetime
+
+    from ccer.operators.temporal import asof_join
+
+    def t(m):
+        return datetime(2024, 1, 1, 0, m)
+
+    left = spark.createDataFrame(
+        [(1, t(5), 100, 1.0), (1, t(10), 101, 2.0), (1, t(2), 102, 3.0),
+         (2, t(7), 200, 4.0)],
+        "user_id long, ts timestamp, event_id long, value double",
+    )
+    right = spark.createDataFrame(
+        [(1, t(3), 30.0), (1, t(10), 99.0), (2, t(8), 70.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    out = {r["event_id"]: r for r in asof_join(left, right).collect()}
+    assert out[100]["r_value"] == 30.0 and out[100]["r_ts"] == t(3)
+    assert out[101]["r_value"] == 99.0  # equal-ts right visible
+    assert out[102]["r_value"] is None and out[102]["r_ts"] is None
+    assert out[200]["r_value"] is None  # right at t(8) is AFTER t(7)
+
+
+def test_range_join(spark):
+    """Bucketed interval join equals the exact theta-join pair set, each
+    pair exactly once (bucket fan-out produces no duplicates)."""
+    from datetime import datetime
+
+    from ccer.operators.temporal import range_join
+
+    rows = []
+    # user 1: events at minutes 0, 5, 9, 20, 21 — gaps test the 600 s
+    # bound (5->9 = 240 s in-bound; 9->20 = 660 s out; 20->21 in)
+    for eid, m in [(1, 0), (2, 5), (3, 9), (4, 20), (5, 21)]:
+        rows.append((eid, datetime(2024, 1, 1, 0, m), 1, "e", 0.0))
+    # user 2: same-ts tie -> one pair ordered by id
+    rows += [(10, datetime(2024, 1, 1, 1, 0), 2, "e", 0.0),
+             (11, datetime(2024, 1, 1, 1, 0), 2, "e", 0.0)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    got = [(r["user_id"], r["id_a"], r["id_b"], r["gap_sec"])
+           for r in range_join(df, max_gap_sec=600).collect()]
+    assert len(got) == len(set(got))  # uniqueness, no bucket duplicates
+    assert sorted(got) == sorted([
+        (1, 1, 2, 300), (1, 1, 3, 540), (1, 2, 3, 240), (1, 4, 5, 60),
+        (2, 10, 11, 0),
+    ])
