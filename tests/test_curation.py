@@ -297,3 +297,67 @@ def test_range_join(spark):
         (1, 1, 2, 300), (1, 1, 3, 540), (1, 2, 3, 240), (1, 4, 5, 60),
         (2, 10, 11, 0),
     ])
+
+
+def test_temporal_random_parity(spark):
+    """Randomized parity: asof_join and range_join against brute-force
+    pandas references on a seeded 400-row, 20-key batch (duplicate
+    timestamps included — the tie semantics must hold under volume)."""
+    import numpy as np
+    import pandas as pd
+
+    from ccer.operators.temporal import asof_join, range_join
+
+    rng = np.random.RandomState(7)
+    n = 400
+    base = pd.Timestamp("2024-01-01").value // 10**9
+    pdf = pd.DataFrame(
+        {
+            "event_id": np.arange(n),
+            "sec": base + rng.randint(0, 3600, n),
+            "user_id": rng.randint(0, 20, n),
+            "value": np.round(rng.uniform(0, 10, n), 2),
+        }
+    )
+    pdf["ts"] = pd.to_datetime(pdf["sec"], unit="s")
+    df = spark.createDataFrame(
+        pdf[["event_id", "ts", "user_id", "value"]],
+        "event_id long, ts timestamp, user_id long, value double",
+    )
+    left = df.filter(F.col("event_id") % 2 == 0)
+    right = (
+        df.filter(F.col("event_id") % 2 == 1)
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    got = {
+        r["event_id"]: (r["r_value"], r["r_ts"])
+        for r in asof_join(left, right).collect()
+    }
+    rp = (
+        pdf[pdf.event_id % 2 == 1]
+        .groupby(["user_id", "sec"], as_index=False)["value"]
+        .max()
+    )
+    for row in pdf[pdf.event_id % 2 == 0].itertuples():
+        cand = rp[(rp.user_id == row.user_id) & (rp.sec <= row.sec)]
+        if len(cand):
+            best = cand.sort_values("sec").iloc[-1]
+            assert got[row.event_id][0] == best["value"]
+            assert int(got[row.event_id][1].timestamp()) == best["sec"]
+        else:
+            assert got[row.event_id] == (None, None)
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["gap_sec"]
+        for r in range_join(df, max_gap_sec=300).collect()
+    }
+    expected = {}
+    for u in range(20):
+        sub = pdf[pdf.user_id == u]
+        for x in sub.itertuples():
+            for y in sub.itertuples():
+                gap = y.sec - x.sec
+                if (0 < gap <= 300) or (gap == 0 and x.event_id < y.event_id):
+                    expected[(x.event_id, y.event_id)] = gap
+    assert pairs == expected
