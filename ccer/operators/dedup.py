@@ -205,3 +205,146 @@ def simhash_neardup_pairs(
         .select("id_a", "id_b", "hamming")
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+# =====================================================================
+# Word-window operators: chunk-level exact dedup + benchmark
+# decontamination. Both ride the same n-gram machinery; everything is
+# JVM column algebra (split → sequence → slice → array_join → xxhash64)
+# so the gram explosion stays inside whole-stage codegen.
+# =====================================================================
+
+def _word_gram_hashes(
+    docs: DataFrame, n: int, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exploded (id, gh, n_grams) rows: one xxhash64 per n-word window
+    (stride 1), plus the doc's total gram count carried on every row (a
+    constant few bytes that lets downstream per-doc aggregates avoid a
+    second join against the corpus). A doc with fewer than n words
+    yields no rows. Only the 8-byte hash, the id, and the count leave
+    the projection — the gram strings are consumed inside the per-row
+    expression, so any downstream shuffle carries ~20 B/gram regardless
+    of text size."""
+    words = F.split(F.col(text_col), " ")
+    grams = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - n),
+            lambda i: F.xxhash64(F.array_join(F.slice(words, i + 1, n), " ")),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.greatest(F.size(words) - n + 1, F.lit(0)).alias("n_grams"),
+        F.explode(grams).alias("gh"),
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    n-word gram with an evaluation set (the n-gram-overlap rule used to
+    scrub eval contamination from web-scale training corpora; n=8..13 is
+    the published range).
+
+    Returns one row per contaminated training doc:
+    ``(doc_id, shared_grams, n_grams, contam_frac)`` where shared_grams
+    counts DISTINCT overlapping grams and contam_frac = shared/total.
+
+    Scale shape: the eval side is always small relative to the corpus
+    (benchmarks are ~1e6 grams, the corpus ~1e12), so its distinct gram
+    hashes broadcast — the training table's exploded gram stream is
+    filtered map-side with NO shuffle of corpus grams; only the
+    surviving (id, gh) hits shuffle into the per-doc aggregate, and the
+    per-doc gram total rides each hit row so no second corpus join is
+    needed. If an eval set ever outgrew broadcast, dropping the hint
+    falls back to a hash join on the 8-byte gram key.
+
+    Gram identity is the 64-bit xxhash of the gram text: at 1e12 grams
+    the expected number of colliding distinct-gram pairs is far below
+    one per corpus, which cannot flip the ≥1-shared-gram contamination
+    decision; the SQL oracle joins on the gram STRING, so the driver
+    gate also verifies the hash path's equivalence on real data.
+    """
+    eval_grams = (
+        _word_gram_hashes(eval_docs, n, id_col, text_col).select("gh").distinct()
+    )
+    train_grams = _word_gram_hashes(train, n, id_col, text_col)
+    return (
+        train_grams.join(F.broadcast(eval_grams), "gh")
+        .groupBy("id")
+        .agg(
+            F.count_distinct("gh").alias("shared_grams"),
+            F.first("n_grams").alias("n_grams"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "shared_grams",
+            "n_grams",
+            F.round(F.col("shared_grams") / F.col("n_grams"), 6).alias("contam_frac"),
+        )
+    )
+
+
+def chunk_dedup_stats(
+    docs: DataFrame,
+    chunk_words: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Passage-level exact dedup: split each doc into non-overlapping
+    ``chunk_words``-word chunks (trailing partial chunk included), find
+    chunks whose exact text occurs more than once corpus-wide, and
+    report per-doc ``(doc_id, n_chunks, dup_chunks, dup_frac)`` for docs
+    carrying at least one duplicated chunk — the per-passage analog of
+    line-level dedup for text without line structure.
+
+    Scale shape: chunks leave the scan as 8-byte hashes with the per-doc
+    chunk total riding each row (the chunk strings never leave the
+    map-side projection). One groupBy(hash) — partial-aggregated
+    map-side — finds duplicated hashes; the join back onto the chunk
+    stream is left to AQE because the duplicated-chunk set is NOT
+    reliably small on web corpora (line/passage dup rates of 20-30% are
+    normal), so forcing a broadcast would OOM exactly on the inputs this
+    operator exists for; both sides of that join are slim (≤20 B/row).
+    Occurrences are counted across ALL positions (a chunk repeated twice
+    inside one doc counts), matching the SQL oracle.
+    """
+    words = F.split(F.col(text_col), " ")
+    n_chunks_col = F.ceil(F.size(words) / F.lit(chunk_words)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks_col - 1),
+        lambda i: F.xxhash64(
+            F.array_join(F.slice(words, i * chunk_words + 1, chunk_words), " ")
+        ),
+    )
+    exploded = docs.select(
+        F.col(id_col).alias("id"),
+        n_chunks_col.alias("n_chunks"),
+        F.explode(chunks).alias("ch"),
+    )
+    dup_hashes = (
+        exploded.groupBy("ch")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .filter(F.col("occ") > 1)
+        .select("ch")
+    )
+    return (
+        exploded.join(dup_hashes, "ch")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("dup_chunks"),
+            F.first("n_chunks").alias("n_chunks"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_chunks",
+            "dup_chunks",
+            F.round(F.col("dup_chunks") / F.col("n_chunks"), 6).alias("dup_frac"),
+        )
+    )

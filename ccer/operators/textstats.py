@@ -105,3 +105,29 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.withColumn("fp_raw", F.md5(text.cast("binary"))).withColumn(
         "fp_canonical", F.md5(canon.cast("binary"))
     )
+
+
+def source_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-source corpus composition — the domain-balancing view a
+    curation pipeline samples from: ``(source, n_docs, total_tokens,
+    n_langs, corpus_share)``.
+
+    Scale shape: one partial-aggregated groupBy(source); the corpus
+    total needed for the share is re-aggregated FROM the per-source
+    result (a tree-reduce to one row) and broadcast back via crossJoin —
+    not a global window, which would funnel every per-source row through
+    a single task at web scale (~1e8 distinct hosts).
+    """
+    per_source = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col(text_col), " "))).alias("total_tokens"),
+        F.count_distinct("lang").alias("n_langs"),
+    )
+    total = per_source.agg(F.sum("n_docs").alias("corpus_docs"))
+    return per_source.crossJoin(F.broadcast(total)).select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        "n_langs",
+        F.round(F.col("n_docs") / F.col("corpus_docs"), 6).alias("corpus_share"),
+    )

@@ -1616,6 +1616,82 @@ SELECT doc_id, unnest(fps) AS fp FROM w
 """
 
 
+def q_decontam_overlap(spark, sf_dir):
+    """Benchmark decontamination: training docs (doc_id % 50 != 0)
+    sharing any 8-word gram with the eval slice (doc_id % 50 == 0).
+    Spark joins on xxhash64 gram keys (the scale path); the oracle joins
+    on gram strings — the gate therefore also verifies the hash path."""
+    from ccer.operators.dedup import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    eval_docs = docs.filter(F.col("doc_id") % 50 == 0)
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    return decontaminate(train, eval_docs, n=8)
+
+
+SQL_DECONTAM = r"""
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+grams AS (
+  SELECT doc_id, len(w) AS nw, array_to_string(w[i:i+7], ' ') AS g
+  FROM words, unnest(generate_series(1, greatest(len(w) - 7, 0))) AS t(i)
+),
+eval_grams AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0)
+SELECT gr.doc_id,
+       count(DISTINCT gr.g) AS shared_grams,
+       greatest(any_value(gr.nw) - 7, 0) AS n_grams,
+       round(count(DISTINCT gr.g) * 1.0 / greatest(any_value(gr.nw) - 7, 0), 6)
+         AS contam_frac
+FROM grams gr JOIN eval_grams e USING (g)
+WHERE gr.doc_id % 50 <> 0
+GROUP BY gr.doc_id
+"""
+
+
+def q_chunk_dedup(spark, sf_dir):
+    """Passage-level exact dedup: per-doc duplicated-chunk stats over
+    non-overlapping 20-word windows (trailing partial included)."""
+    from ccer.operators.dedup import chunk_dedup_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_dedup_stats(docs, chunk_words=20)
+
+
+SQL_CHUNK_DEDUP = r"""
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+chunks AS (
+  SELECT doc_id, CAST(ceil(len(w) / 20.0) AS BIGINT) AS n_chunks,
+         array_to_string(w[i:i+19], ' ') AS c
+  FROM words, unnest(generate_series(1, len(w), 20)) AS t(i)
+),
+dup AS (SELECT c FROM chunks GROUP BY c HAVING count(*) > 1)
+SELECT doc_id, any_value(n_chunks) AS n_chunks, count(*) AS dup_chunks,
+       round(count(*) * 1.0 / any_value(n_chunks), 6) AS dup_frac
+FROM chunks JOIN dup USING (c)
+GROUP BY doc_id
+"""
+
+
+def q_source_stats(spark, sf_dir):
+    """Per-source corpus composition (domain balancing view)."""
+    from ccer.operators.textstats import source_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return source_stats(docs)
+
+
+SQL_SOURCE_STATS = r"""
+WITH per_source AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+         count(DISTINCT lang) AS n_langs
+  FROM documents GROUP BY source
+), tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS corpus_docs FROM per_source)
+SELECT source, n_docs, total_tokens, n_langs,
+       round(n_docs * 1.0 / corpus_docs, 6) AS corpus_share
+FROM per_source, tot
+"""
+
+
 # =====================================================================
 # ER pipeline over pages derived from documents (rows-only checks)
 # =====================================================================
@@ -1894,6 +1970,9 @@ QUERIES = {
     "c4_filters": q_c4_filters,
     "pii_redact": q_pii_redact,
     "winnow_fingerprints": q_winnow_fingerprints,
+    "decontam_overlap": q_decontam_overlap,
+    "chunk_dedup": q_chunk_dedup,
+    "source_stats": q_source_stats,
     # set ops / grouping sets
     "grouping_sets_agg": q_grouping_sets_agg,
     "intersect_channels": q_intersect_channels,
@@ -1950,6 +2029,9 @@ ORACLES = {
     "c4_filters": SQL_C4_FILTERS,
     "pii_redact": SQL_PII_REDACT,
     "winnow_fingerprints": SQL_WINNOW,
+    "decontam_overlap": SQL_DECONTAM,
+    "chunk_dedup": SQL_CHUNK_DEDUP,
+    "source_stats": SQL_SOURCE_STATS,
     # LSH / ER verification gates (derived SQL-expressible equality checks)
     "minhash_neardup_recall": SQL_MINHASH_RECALL,
     "simhash_neardup_verified": SQL_SIMHASH_VERIFIED,

@@ -269,6 +269,31 @@ def main() -> None:
         dq.q_range_join(spark, sf_dir),
         must_not_contain=["BroadcastNestedLoopJoin", "CartesianProduct"],
     )
+    # decontamination: eval grams must broadcast (map-side filter of the
+    # corpus gram stream — no shuffle of corpus grams into the join)
+    audit(
+        "decontam_broadcast_eval_grams",
+        dq.q_decontam_overlap(spark, sf_dir),
+        must_contain=["BroadcastHashJoin", "xxhash64"],
+        must_not_contain=["SortMergeJoin", "CartesianProduct"],
+    )
+    # chunk dedup: hash-keyed joins only; the dup-hash join is left to
+    # AQE (dup set is not reliably small), never a nested loop
+    audit(
+        "chunk_dedup_hash_keys",
+        dq.q_chunk_dedup(spark, sf_dir),
+        must_contain=["xxhash64"],
+        must_not_contain=["BroadcastNestedLoopJoin", "CartesianProduct"],
+    )
+    # source stats: corpus share via 1-row broadcast cross join, NOT a
+    # global (unpartitioned) window funneling all rows into one task
+    audit(
+        "source_stats_no_global_window",
+        dq.q_source_stats(spark, sf_dir),
+        must_contain=["HashAggregate"],
+        must_not_contain=["Window"],
+    )
+
     asof_text = plan_of(dq.q_asof_join(spark, sf_dir))
     n_joins = asof_text.count("Join")
     asof_ok = "Window" in asof_text and "BroadcastNestedLoopJoin" not in asof_text

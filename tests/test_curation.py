@@ -361,3 +361,64 @@ def test_temporal_random_parity(spark):
                 if (0 < gap <= 300) or (gap == 0 and x.event_id < y.event_id):
                     expected[(x.event_id, y.event_id)] = gap
     assert pairs == expected
+
+
+def test_decontaminate(spark):
+    from ccer.operators.dedup import decontaminate
+
+    words = lambda n, tag: " ".join(f"{tag}{i}" for i in range(n))
+    eval_docs = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta tail1 tail2")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            # contains the eval 8-gram "alpha..theta" at two positions →
+            # still ONE distinct shared gram... plus the shifted grams
+            (0, "alpha beta gamma delta epsilon zeta eta theta " + words(5, "x")),
+            (1, words(12, "clean")),          # no overlap
+            (2, "alpha beta gamma delta"),    # < 8 words → no grams
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in decontaminate(train, eval_docs, n=8).collect()}
+    assert set(out) == {0}
+    r = out[0]
+    # train doc 0 has 13 words → 6 grams; grams starting at pos 1..3
+    # (alpha..theta window) only pos 1 matches the eval doc's grams
+    # (eval grams: 3 windows over 10 words)
+    assert r["n_grams"] == 6
+    assert r["shared_grams"] == 1
+    assert abs(r["contam_frac"] - round(1 / 6, 6)) < 1e-9
+
+
+def test_chunk_dedup_stats(spark):
+    from ccer.operators.dedup import chunk_dedup_stats
+
+    chunk = lambda tag: " ".join(f"{tag}{i}" for i in range(20))
+    a, b, c = chunk("a"), chunk("b"), chunk("c")
+    docs = spark.createDataFrame(
+        [
+            (0, f"{a} {b}"),        # chunk a shared with doc 1
+            (1, f"{a} {c}"),
+            (2, f"{b} {b}"),        # repeats chunk b twice within one doc
+            (3, chunk("z") + " tail"),  # 21 words → 2 chunks, no dups
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in chunk_dedup_stats(docs, chunk_words=20).collect()}
+    # chunk a occurs 2x (docs 0,1); chunk b occurs 3x (doc 0 once, doc 2 twice)
+    assert set(out) == {0, 1, 2}
+    assert (out[0]["n_chunks"], out[0]["dup_chunks"]) == (2, 2)
+    assert (out[1]["n_chunks"], out[1]["dup_chunks"]) == (2, 1)
+    assert (out[2]["n_chunks"], out[2]["dup_chunks"]) == (2, 2)
+    assert abs(out[1]["dup_frac"] - 0.5) < 1e-9
+
+
+def test_source_stats(spark, corpus):
+    from ccer.operators.textstats import source_stats
+
+    out = {r["source"]: r for r in source_stats(corpus).collect()}
+    assert sum(r["n_docs"] for r in out.values()) == corpus.count()
+    assert abs(sum(r["corpus_share"] for r in out.values()) - 1.0) < 1e-4
+    assert out["s2"]["n_langs"] == 2
