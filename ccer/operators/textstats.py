@@ -131,3 +131,80 @@ def source_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "n_langs",
         F.round(F.col("n_docs") / F.col("corpus_docs"), 6).alias("corpus_share"),
     )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` terms per document by smoothed TF-IDF — the keyword
+    extraction a curation pipeline uses for topic balancing and
+    clustering labels. Output: ``(doc_id, term, tf, df, tfidf, rnk)``.
+
+    idf = ln((N + 1) / (df + 1)), tf = in-doc term count; ties broken by
+    term string so the result is deterministic.
+
+    Scale shape: one explode → per-(doc,term) count (partial-aggregated);
+    document frequencies come from a second aggregate over the SAME
+    (doc,term) rows (no rescan of the corpus); the df side is keyed by
+    term only — Zipf makes it orders of magnitude smaller than the
+    corpus, and AQE picks broadcast vs hash join by its real size. The
+    final per-doc top-k is a window over doc_id: bounded fan-in, no
+    global sort.
+    """
+    terms = docs.select(
+        F.col(id_col).alias("id"), F.explode(_tokens(text_col)).alias("term")
+    ).filter(F.col("term") != "")
+    tf = terms.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf") * F.log((F.col("n_docs") + 1) / (F.col("df") + 1)), 6
+            ),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(F.col("id").alias(id_col), "term", "tf", "df", "tfidf", "rnk")
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    fraction_by_source: dict,
+    default_fraction: float = 1.0,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic per-source downsampling — the domain-rebalancing
+    step of a web-corpus pipeline. A doc survives iff the first 32 bits
+    of ``md5(id || ':' || seed)`` fall below ``fraction * 2^32`` for its
+    source's fraction: exactly reproducible across runs/retries (unlike
+    ``DataFrame.sample``, whose output depends on partitioning), pure
+    map-side JVM column algebra (no shuffle, no RNG state), and — the
+    reason for md5 over the cheaper xxhash64 — bit-identical in every
+    engine, so the DuckDB oracle gates the actual selection, not a
+    stand-in. Selection bits come from a cryptographic hash, so
+    per-source realized rates concentrate tightly around the requested
+    fraction at scale; hashing cost is immaterial next to the scan.
+    """
+    frac = F.lit(float(default_fraction))
+    for src, p in sorted(fraction_by_source.items()):
+        frac = F.when(F.col("source") == src, F.lit(float(p))).otherwise(frac)
+    bucket = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(seed)))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    return docs.filter(bucket < (frac * F.lit(float(2**32))).cast("long"))

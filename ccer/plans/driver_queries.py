@@ -1692,6 +1692,57 @@ FROM per_source, tot
 """
 
 
+def q_tfidf_top_terms(spark, sf_dir):
+    """Top-3 terms per doc by smoothed TF-IDF (keyword extraction)."""
+    from ccer.operators.textstats import tfidf_top_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, k=3)
+
+
+SQL_TFIDF = r"""
+WITH terms AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+  FROM documents
+), t2 AS (SELECT doc_id, term FROM terms WHERE term <> ''),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM t2 GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+nd AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term, tf, df,
+         round(tf * ln((n_docs + 1.0) / (df + 1)), 6) AS tfidf
+  FROM tf JOIN df USING (term), nd
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rnk
+  FROM scored
+)
+SELECT doc_id, term, tf, df, tfidf, rnk FROM ranked WHERE rnk <= 3
+"""
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-source downsampling: keep all of src0, half of
+    src1, 20% elsewhere — md5-bucket thresholding, so the oracle gates
+    the exact selection."""
+    from ccer.operators.textstats import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = stratified_sample(
+        docs, {"src0": 1.0, "src1": 0.5}, default_fraction=0.2, seed=42
+    )
+    return kept.select("doc_id", "source")
+
+
+SQL_STRATIFIED = r"""
+SELECT doc_id, source FROM documents
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8)) AS BIGINT)
+      < CAST((CASE source WHEN 'src0' THEN 1.0
+                          WHEN 'src1' THEN 0.5
+                          ELSE 0.2 END) * 4294967296.0 AS BIGINT)
+"""
+
+
 # =====================================================================
 # ER pipeline over pages derived from documents (rows-only checks)
 # =====================================================================
@@ -1973,6 +2024,8 @@ QUERIES = {
     "decontam_overlap": q_decontam_overlap,
     "chunk_dedup": q_chunk_dedup,
     "source_stats": q_source_stats,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "stratified_sample": q_stratified_sample,
     # set ops / grouping sets
     "grouping_sets_agg": q_grouping_sets_agg,
     "intersect_channels": q_intersect_channels,
@@ -2032,6 +2085,8 @@ ORACLES = {
     "decontam_overlap": SQL_DECONTAM,
     "chunk_dedup": SQL_CHUNK_DEDUP,
     "source_stats": SQL_SOURCE_STATS,
+    "tfidf_top_terms": SQL_TFIDF,
+    "stratified_sample": SQL_STRATIFIED,
     # LSH / ER verification gates (derived SQL-expressible equality checks)
     "minhash_neardup_recall": SQL_MINHASH_RECALL,
     "simhash_neardup_verified": SQL_SIMHASH_VERIFIED,

@@ -285,6 +285,22 @@ def main() -> None:
         must_contain=["xxhash64"],
         must_not_contain=["BroadcastNestedLoopJoin", "CartesianProduct"],
     )
+    # stratified sample: pure map-side filter — no shuffle anywhere
+    audit(
+        "stratified_sample_no_shuffle",
+        dq.q_stratified_sample(spark, sf_dir),
+        must_not_contain=["Exchange", "Join"],
+    )
+    # tfidf: per-doc window partitioned by doc id, with Spark's rank
+    # pushdown (WindowGroupLimit) trimming each group to k map-side —
+    # never an unpartitioned window or cartesian product
+    audit(
+        "tfidf_partitioned_window_group_limit",
+        dq.q_tfidf_top_terms(spark, sf_dir),
+        must_contain=["WindowGroupLimit", "hashpartitioning(id#"],
+        must_not_contain=["CartesianProduct"],
+    )
+
     # source stats: corpus share via 1-row broadcast cross join, NOT a
     # global (unpartitioned) window funneling all rows into one task
     audit(

@@ -422,3 +422,51 @@ def test_source_stats(spark, corpus):
     assert sum(r["n_docs"] for r in out.values()) == corpus.count()
     assert abs(sum(r["corpus_share"] for r in out.values()) - 1.0) < 1e-4
     assert out["s2"]["n_langs"] == 2
+
+
+def test_tfidf_top_terms(spark):
+    from ccer.operators.textstats import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (0, "common common rare0 unique0 unique0 unique0"),
+            (1, "common rare0 unique1"),
+            (2, "common common common"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_top_terms(docs, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert all(len(v) <= 2 for v in by_doc.values())
+    # doc 0's top term must be its thrice-repeated unique token
+    top0 = min(by_doc[0], key=lambda r: r["rnk"])
+    assert (top0["term"], top0["tf"], top0["df"]) == ("unique0", 3, 1)
+    # 'common' appears in every doc → idf = ln(4/4) = 0 → never outranks
+    # a unique term where one exists
+    assert by_doc[1][0]["term"] == "unique1"
+
+
+def test_stratified_sample(spark, corpus):
+    from ccer.operators.textstats import stratified_sample
+
+    many = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"), F.lit("bulk").alias("source")
+    )
+    kept = stratified_sample(many, {}, default_fraction=0.25, seed=1)
+    n = kept.count()
+    assert abs(n / 2000 - 0.25) < 0.05          # hash buckets concentrate
+    # deterministic: same rows both runs
+    ids1 = sorted(r["doc_id"] for r in kept.collect())
+    ids2 = sorted(r["doc_id"] for r in stratified_sample(
+        many, {}, default_fraction=0.25, seed=1).collect())
+    assert ids1 == ids2
+    # different seed → different selection
+    ids3 = sorted(r["doc_id"] for r in stratified_sample(
+        many, {}, default_fraction=0.25, seed=2).collect())
+    assert ids1 != ids3
+    # boundary fractions: keep-all and keep-none per source
+    mixed = stratified_sample(corpus, {"s0": 1.0, "s1": 0.0}, default_fraction=1.0)
+    srcs = [r["source"] for r in mixed.collect()]
+    assert "s1" not in srcs and srcs.count("s0") == 3
