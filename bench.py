@@ -111,6 +111,16 @@ def main() -> None:
     timed("curation_filters", curation_filters)
     timed("winnow_fingerprints", lambda: dq.q_winnow_fingerprints(spark, sf_dir).count())
 
+    def corpus_ops():
+        a = dq.q_decontam_overlap(spark, sf_dir).count()
+        b = dq.q_chunk_dedup(spark, sf_dir).count()
+        c = dq.q_tfidf_top_terms(spark, sf_dir).count()
+        d = dq.q_stratified_sample(spark, sf_dir).count()
+        e = dq.q_source_stats(spark, sf_dir).count()
+        return a + b + c + d + e
+
+    timed("corpus_ops", corpus_ops)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
