@@ -36,10 +36,13 @@ def main() -> None:
     parser.add_argument("--min-tokens", type=int, default=5)
     parser.add_argument("--c4", action="store_true",
                         help="also apply the C4 terminal-punctuation prose gate")
+    parser.add_argument("--metrics", action="store_true",
+                        help="enable the Spark UI and report aggregate executor "
+                        "task metrics in the summary JSON")
     args = parser.parse_args()
 
     from ccer.plans.curation_workflow import CurationConfig, run_curation, stage_counts
-    from ccer.session import get_spark
+    from ccer.session import get_spark, task_metrics
     from ccer.sources.pages import synthesize_pages
 
     cfg = CurationConfig(
@@ -48,7 +51,8 @@ def main() -> None:
         use_c4=args.c4,
         sample_fraction=args.sample_frac,
     )
-    spark = get_spark(app_name="ccer-curation", cores=args.cores)
+    extra_conf = {"spark.ui.enabled": "true"} if args.metrics else None
+    spark = get_spark(app_name="ccer-curation", cores=args.cores, extra_conf=extra_conf)
     t0 = time.time()
     if args.input.startswith("synth:"):
         pages = synthesize_pages(
@@ -66,12 +70,15 @@ def main() -> None:
     )
     n_out = survivors.count()
     funnel = stage_counts(args.workdir)
-    print(json.dumps({
+    summary = {
         "rows_out": n_out,
         "funnel": funnel,
         "elapsed_sec": round(time.time() - t0, 2),
         "workdir": args.workdir,
-    }))
+    }
+    if args.metrics:
+        summary["task_metrics"] = task_metrics(spark)
+    print(json.dumps(summary))
     spark.stop()
 
 

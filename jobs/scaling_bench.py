@@ -94,7 +94,7 @@ def prepare_corpus(n_docs: int, path: str) -> None:
     spark.stop()
 
 
-def run_level(cores: int, corpus: str, workdir: str) -> dict:
+def run_level(cores: int, corpus: str, workdir: str, job: str = "er") -> dict:
     shutil.rmtree(workdir, ignore_errors=True)
     # level fairness: flush writeback, then WARM the corpus + jars so every
     # run at every level starts from the same (warm) page-cache state.
@@ -110,10 +110,11 @@ def run_level(cores: int, corpus: str, workdir: str) -> dict:
                     pass
     time.sleep(2)
     t0 = time.time()
+    script = "run_pipeline.py" if job == "er" else "run_curation.py"
     out = subprocess.run(
         [
             sys.executable,
-            os.path.join(REPO, "jobs", "run_pipeline.py"),
+            os.path.join(REPO, "jobs", script),
             "--input", corpus,
             "--workdir", workdir,
             "--cores", str(cores),
@@ -154,6 +155,13 @@ def main() -> None:
         default="/dev/shm/ccer_scaling",
         help="stage-checkpoint workdirs (tmpfs = the executor-local-NVMe analog)",
     )
+    parser.add_argument(
+        "--job",
+        choices=("er", "curation"),
+        default="er",
+        help="which spark-submit job to scale: the ER pipeline or the "
+        "curation funnel (same protocol, same corpus shape)",
+    )
     args = parser.parse_args()
 
     corpus = os.path.join(args.base, "pages_parquet")
@@ -180,7 +188,9 @@ def main() -> None:
         brackets.append(capacity_bracket(f"pre round {r}"))
         for cores in (lo, hi):
             print(f"run {r}: local[{cores}]...", flush=True)
-            res = run_level(cores, corpus, os.path.join(args.workbase, f"wd_{cores}_{r}"))
+            res = run_level(
+                cores, corpus, os.path.join(args.workbase, f"wd_{cores}_{r}"), job=args.job
+            )
             print(json.dumps(res), flush=True)
             results[cores].append(res)
     brackets.append(capacity_bracket("post"))
@@ -233,6 +243,7 @@ def main() -> None:
     conc_lo, conc_hi = concurrency(results[lo]), concurrency(results[hi])
 
     summary = {
+        "job": args.job,
         "n_docs": args.docs, "level_n": lo, "level_4n": hi,
         "n_rounds": args.repeat,
         "aggregation": "median over per-round efficiencies (bracketed capacity)",
@@ -251,19 +262,35 @@ def main() -> None:
     print(json.dumps(summary), flush=True)
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    stage_lo = results[lo][-1].get("stage_sec", {})
-    stage_hi = results[hi][-1].get("stage_sec", {})
+    if args.job == "er":
+        stage_lo = results[lo][-1].get("stage_sec", {})
+        stage_hi = results[hi][-1].get("stage_sec", {})
+        stage_names = ["features", "blocks", "pairs", "edges", "components", "clusters"]
+        out_name = "SCALING_RUNS.md"
+        job_desc = "Identical ER pipeline job (`jobs/run_pipeline.py`)"
+    else:
+        stage_lo = {
+            k: v.get("duration_sec")
+            for k, v in results[lo][-1].get("funnel", {}).items()
+        }
+        stage_hi = {
+            k: v.get("duration_sec")
+            for k, v in results[hi][-1].get("funnel", {}).items()
+        }
+        stage_names = ["docs", "exact", "neardup", "quality", "decontam", "sample"]
+        out_name = "SCALING_RUNS_CURATION.md"
+        job_desc = "Identical curation funnel job (`jobs/run_curation.py`)"
     round_rows = "\n".join(
         f"| {x['round']} | {x['elapsed_sec_n']:.1f} | {x['elapsed_sec_4n']:.1f} "
         f"| {x['cap_n']:.2f} | {x['cap_4n']:.2f} | {x['eff_wall']:.3f} "
         f"| {x['eff_capacity']:.3f} | {x['cpu_work_conservation'] or '-'} |"
         for x in rounds
     )
-    with open(os.path.join(REPO, "BENCH", "SCALING_RUNS.md"), "w") as fh:
+    with open(os.path.join(REPO, "BENCH", out_name), "w") as fh:
         fh.write(
-            f"""# BENCH/BASELINE — two-cluster-size scaling protocol
+            f"""# BENCH/{out_name[:-3]} — two-cluster-size scaling protocol
 
-Identical ER pipeline job (`jobs/run_pipeline.py`) on identical input
+{job_desc} on identical input
 ({args.docs:,} deterministic synthetic pages, seed=42, pre-materialized
 parquet), fresh JVM per run, {args.repeat} interleaved A/B rounds, each
 bracketed by a host-capacity burst. The features stage is bucketed on
@@ -310,7 +337,7 @@ Per-stage seconds (last round):
 """
             + "\n".join(
                 f"| {k} | {stage_lo.get(k, '-')} | {stage_hi.get(k, '-')} |"
-                for k in ["features", "blocks", "pairs", "edges", "components", "clusters"]
+                for k in stage_names
             )
             + f"""
 
@@ -321,7 +348,7 @@ Raw runs (including full task metrics):
 ```
 """
         )
-    print("wrote BENCH/SCALING_RUNS.md (raw protocol output; BENCH/BASELINE.md is the curated summary)", flush=True)
+    print(f"wrote BENCH/{out_name} (raw protocol output; BENCH/BASELINE.md is the curated summary)", flush=True)
 
 
 if __name__ == "__main__":

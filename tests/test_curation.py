@@ -470,3 +470,64 @@ def test_stratified_sample(spark, corpus):
     mixed = stratified_sample(corpus, {"s0": 1.0, "s1": 0.0}, default_fraction=1.0)
     srcs = [r["source"] for r in mixed.collect()]
     assert "s1" not in srcs and srcs.count("s0") == 3
+
+
+def test_chunk_and_gram_random_parity(spark):
+    """Randomized parity: chunk_dedup_stats and decontaminate against
+    brute-force pandas references on a seeded 200-doc corpus with a
+    small shared vocabulary (so chunk/gram collisions actually occur)."""
+    import numpy as np
+
+    from ccer.operators.dedup import chunk_dedup_stats, decontaminate
+
+    rng = np.random.RandomState(11)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.randint(3, 60)))
+        for _ in range(200)
+    ]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+
+    # --- chunk dedup vs brute force (chunk_words=5) ------------------
+    def chunks_of(t, k=5):
+        w = t.split(" ")
+        return [" ".join(w[i : i + k]) for i in range(0, len(w), k)]
+
+    from collections import Counter
+
+    occ = Counter(c for t in texts for c in chunks_of(t))
+    expected = {}
+    for i, t in enumerate(texts):
+        cs = chunks_of(t)
+        dups = sum(1 for c in cs if occ[c] > 1)
+        if dups:
+            expected[i] = (len(cs), dups)
+    got = {
+        r["doc_id"]: (r["n_chunks"], r["dup_chunks"])
+        for r in chunk_dedup_stats(docs, chunk_words=5).collect()
+    }
+    assert got == expected
+
+    # --- decontaminate vs brute force (n=4) --------------------------
+    def grams_of(t, n=4):
+        w = t.split(" ")
+        return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+    eval_ids = set(range(0, 200, 20))
+    eval_grams = set().union(*(grams_of(texts[i]) for i in eval_ids))
+    exp_hits = {}
+    for i, t in enumerate(texts):
+        if i in eval_ids:
+            continue
+        shared = grams_of(t) & eval_grams
+        if shared:
+            exp_hits[i] = len(shared)
+    eval_df = docs.filter(F.col("doc_id") % 20 == 0)
+    train_df = docs.filter(F.col("doc_id") % 20 != 0)
+    got_hits = {
+        r["doc_id"]: r["shared_grams"]
+        for r in decontaminate(train_df, eval_df, n=4).collect()
+    }
+    assert got_hits == exp_hits
