@@ -260,3 +260,98 @@ def curate_batch(
         next_id=next_id + batch_n,
     )
     return survivors, new_state
+
+
+# =====================================================================
+# State persistence + Structured Streaming wiring
+# =====================================================================
+
+_STATE_TABLES = ("seen", "sigs", "buckets", "comps", "relabels")
+
+
+def save_state(state: CurationState, path: str) -> None:
+    """Persist the dedup state as parquet tables under ``path``. The
+    big tables (sigs/buckets/seen/comps) are written in full here for
+    simplicity; a deployment appends the per-batch DELTAS instead (every
+    table except ``relabels`` is append-only by construction) — the
+    read path below is identical either way."""
+    import json
+    import os
+
+    for name in _STATE_TABLES:
+        getattr(state, name).write.mode("overwrite").parquet(
+            os.path.join(path, name)
+        )
+    with open(os.path.join(path, "_meta.json"), "w") as fh:
+        json.dump({"next_id": state.next_id}, fh)
+
+
+def load_state(spark: SparkSession, path: str) -> CurationState:
+    import json
+    import os
+
+    with open(os.path.join(path, "_meta.json")) as fh:
+        meta = json.load(fh)
+    frames = {
+        name: spark.read.parquet(os.path.join(path, name))
+        for name in _STATE_TABLES
+    }
+    return CurationState(next_id=meta["next_id"], **frames)
+
+
+def stream_curate(
+    spark: SparkSession,
+    input_dir: str,
+    workdir: str,
+    text_col: str = "text",
+    schema_ddl: str = "url string, warc_ts timestamp, html binary, "
+    "text string, lang string",
+    trigger_once: bool = True,
+    est_threshold: float = 0.7,
+):
+    """File-source Structured Streaming curation: each micro-batch runs
+    ``curate_batch`` against the persisted state, appends its survivors
+    to ``<workdir>/curated``, and saves the updated state.
+
+    foreachBatch + the stream checkpoint give exactly-once-per-batch
+    appends; state save is batch-atomic at this granularity (a re-run of
+    an acked batch re-reads the pre-batch state the same way)."""
+    import os
+
+    out_path = os.path.join(workdir, "curated")
+    state_path = os.path.join(workdir, "curation_state")
+    checkpoint = os.path.join(workdir, "_stream_checkpoint")
+
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        state = (
+            load_state(sess, state_path)
+            if os.path.exists(os.path.join(state_path, "_meta.json"))
+            else None
+        )
+        survivors, new_state = curate_batch(
+            sess, state, batch_df, text_col=text_col, est_threshold=est_threshold
+        )
+        survivors.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(out_path)
+        # localCheckpointed lineage means the state frames are concrete;
+        # write to a fresh dir then swap so a mid-write crash never
+        # corrupts the readable state
+        tmp = state_path + "._tmp"
+        save_state(new_state, tmp)
+        import shutil
+
+        if os.path.exists(state_path):
+            shutil.rmtree(state_path)
+        os.replace(tmp, state_path)
+
+    stream = (
+        spark.readStream.schema(schema_ddl)
+        .parquet(input_dir)
+        .writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger_once:
+        stream = stream.trigger(availableNow=True)
+    return stream.start()

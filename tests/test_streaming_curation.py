@@ -129,3 +129,47 @@ def test_bridge_merges_for_future_not_retroactively(spark, vocab):
     # n matches only y, whose label relabels into x's merged component —
     # n must drop exactly as batch mode over the union would drop it
     assert s3.count() == 0
+
+
+def test_stream_curate_end_to_end(spark, tmp_path, vocab):
+    """File-source streaming curation: two files → two curated appends,
+    persisted state, cross-file dedup. A second availableNow pass with a
+    third file resumes from the saved state (exact dup of file-1 text
+    still drops)."""
+    from ccer.streaming.curation import load_state, stream_curate
+
+    input_dir = str(tmp_path / "in")
+    workdir = str(tmp_path / "wd")
+    base = _doc("a", vocab[:60])
+    other = _doc("b", vocab[60:120])
+    spark.createDataFrame(
+        [("u1", base, "en"), ("u2", other, "en")],
+        "url string, text string, lang string",
+    ).withColumn("warc_ts", F.current_timestamp()).withColumn(
+        "html", F.lit(None).cast("binary")
+    ).select("url", "warc_ts", "html", "text", "lang").coalesce(1).write.mode(
+        "append"
+    ).parquet(input_dir)
+
+    q = stream_curate(spark, input_dir, workdir)
+    q.awaitTermination(180)
+    out1 = spark.read.parquet(workdir + "/curated")
+    assert out1.count() == 2
+
+    # second run: one exact dup of file 1 + one fresh doc
+    spark.createDataFrame(
+        [("u3", base, "en"), ("u4", _doc("c", vocab[120:180]), "en")],
+        "url string, text string, lang string",
+    ).withColumn("warc_ts", F.current_timestamp()).withColumn(
+        "html", F.lit(None).cast("binary")
+    ).select("url", "warc_ts", "html", "text", "lang").coalesce(1).write.mode(
+        "append"
+    ).parquet(input_dir)
+
+    q = stream_curate(spark, input_dir, workdir)
+    q.awaitTermination(180)
+    out2 = spark.read.parquet(workdir + "/curated")
+    assert out2.count() == 3                       # u3 deduped against u1
+    assert {r["url"] for r in out2.collect()} == {"u1", "u2", "u4"}
+    st = load_state(spark, workdir + "/curation_state")
+    assert st.next_id == 4 and st.seen.count() == 4
