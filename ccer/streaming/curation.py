@@ -141,19 +141,41 @@ def curate_batch(
     batch, carrying their arrival ``id``, new state).
 
     ``new_docs``: any DataFrame with ``text_col`` (other columns ride
-    along into the survivors). Micro-batches are bounded, so the
-    arrival-rank window below sorts one batch, never the corpus. Ties
-    among byte-identical texts are broken arbitrarily — the copies are
-    indistinguishable for curation purposes.
+    along into the survivors). Arrival ids are a global rank by text —
+    assigned DISTRIBUTED (range-partition → per-partition row_number +
+    driver-side partition offsets), never a single-partition global
+    window, so a large catch-up batch doesn't funnel through one
+    reducer. Ties among byte-identical texts are broken arbitrarily —
+    the copies are indistinguishable for curation purposes.
     """
     next_id = state.next_id if state is not None else 0
 
     from pyspark.sql import Window
 
-    ranked = new_docs.withColumn(
-        "id", F.lit(next_id) + F.row_number().over(Window.orderBy(F.col(text_col)))
-    ).withColumn("text_md5", F.unhex(F.md5(F.col(text_col))))
-    batch_n = ranked.count()
+    n_part = max(2, spark.sparkContext.defaultParallelism)
+    by_range = (
+        new_docs.repartitionByRange(n_part, F.col(text_col))
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)  # pin sampled range boundaries
+    )
+    # per-partition counts are n_part rows — driver-side cumsum is free
+    pid_counts = {
+        r["__pid"]: r["cnt"]
+        for r in by_range.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in range(n_part):
+        offsets.append((pid, acc))
+        acc += pid_counts.get(pid, 0)
+    batch_n = acc
+    off_df = spark.createDataFrame(offsets, "__pid int, __off long")
+    w = Window.partitionBy("__pid").orderBy(F.col(text_col))
+    ranked = (
+        by_range.join(F.broadcast(off_df), "__pid")
+        .withColumn("id", F.lit(next_id) + F.col("__off") + F.row_number().over(w))
+        .drop("__pid", "__off")
+        .withColumn("text_md5", F.unhex(F.md5(F.col(text_col))))
+    )
 
     # ---- exact dedup: within batch, then vs the seen-digest state -----
     keep_ids = ranked.groupBy("text_md5").agg(F.min("id").alias("id"))
