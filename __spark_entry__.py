@@ -16,6 +16,13 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Pin worker Python past any version-manager shim (pyenv's bash trampoline
+# costs ~0.3-0.5s per exec; sys.executable is the resolved real binary).
+# Only effective if this import happens before the JVM starts — harmless
+# otherwise; ccer.session.get_spark applies the same pin for its sessions.
+if os.environ.get("PYSPARK_PYTHON", "python") in ("python", "python3"):
+    os.environ["PYSPARK_PYTHON"] = sys.executable
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: documents → pages →

@@ -31,8 +31,17 @@ def main() -> None:
 
     from pyspark.sql import functions as F
 
+    from ccer.hostcap import capacity_sample
     from ccer.plans import driver_queries as dq
     from ccer.session import get_spark
+
+    # host-capacity calibration bracketing the run: this guest's
+    # deliverable IPC swings up to ~2.5x with co-tenant load on the
+    # physical host (BENCH/BASELINE.md "Host variance"), so a raw wall
+    # time is only interpretable next to a fixed-work burst taken in the
+    # same window. burn_sec_1w is the per-unit-work seconds (higher =
+    # slower host window); effective_cores is deliverable parallelism.
+    cap_pre = capacity_sample(cores)
 
     spark = get_spark(app_name="ccer-bench", cores=cores, shuffle_partitions=cores)
 
@@ -122,6 +131,8 @@ def main() -> None:
     timed("corpus_ops", corpus_ops)
 
     total = round(sum(timings.values()), 3)
+    spark.stop()
+    cap_post = capacity_sample(cores)
     print(
         json.dumps(
             {
@@ -132,10 +143,10 @@ def main() -> None:
                 "sf": sf,
                 **extras,
                 "cores": cores,
+                "host_capacity": {"pre": cap_pre, "post": cap_post},
             }
         )
     )
-    spark.stop()
 
 
 if __name__ == "__main__":

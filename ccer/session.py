@@ -19,6 +19,16 @@ def get_spark(
     shuffle_partitions: int | None = None,
     extra_conf: dict | None = None,
 ) -> SparkSession:
+    # Pin worker Python to the RESOLVED interpreter, not a launcher shim:
+    # a version-manager shim (e.g. pyenv's bash trampoline) adds ~0.3-0.5s
+    # of exec overhead per spawn, paid on every Python-daemon start — and,
+    # under spark.python.worker.reuse=false, amplified across stages.
+    # sys.executable is already the post-shim real binary.
+    import sys as _sys
+
+    os.environ.setdefault("PYSPARK_DRIVER_PYTHON", _sys.executable)
+    if os.environ.get("PYSPARK_PYTHON", "python") in ("python", "python3"):
+        os.environ["PYSPARK_PYTHON"] = _sys.executable
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:

@@ -49,38 +49,7 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-BURN_ITERS = 20_000_000
-
-
-def _burn(_) -> float:
-    """FIXED-WORK unit task for host-capacity calibration. Fixed work (not
-    fixed wall time) is essential: a fixed-wall spin "completes" on
-    schedule even when the hypervisor steals cycles, so it measures
-    scheduling concurrency, not deliverable compute — it reported 14.6
-    "effective cores" on a host whose real 4->16-worker throughput gain
-    was what mattered."""
-    t0 = time.perf_counter()
-    x = 0
-    for i in range(BURN_ITERS):
-        x += i
-    return time.perf_counter() - t0
-
-
-def measure_effective_cores(workers: int, tasks_factor: int = 2) -> float:
-    """Deliverable parallelism at ``workers`` processes: fixed-work tasks
-    completed per wall-second, normalized by the single-worker rate
-    (== workers on an unloaded host)."""
-    n_tasks = workers * tasks_factor
-    t0 = time.perf_counter()
-    with mp.Pool(workers) as pool:
-        pool.map(_burn, range(n_tasks))
-    wall = time.perf_counter() - t0
-    rate = n_tasks / wall
-    t0 = time.perf_counter()
-    _burn(0); _burn(0)
-    rate1 = 2 / (time.perf_counter() - t0)
-    return rate / rate1
-
+from ccer.hostcap import measure_effective_cores  # noqa: E402
 
 def prepare_corpus(n_docs: int, path: str) -> None:
     """Materialize the deterministic synthetic page corpus once; both
