@@ -36,9 +36,34 @@ def get_spark(
         # cores-sized partitions spills multi-GB sort buffers to disk and
         # degrades superlinearly. Start high; AQE coalesces the small ones.
         shuffle_partitions = max(4 * cores, 64)
+    # CCER_MASTER overrides the default local[cores] — e.g.
+    # "local-cluster[4,8,4096]" runs 4 SEPARATE executor JVMs with real
+    # RPC shuffle and serialization boundaries, the closest this sandbox
+    # gets to a multi-executor cluster (BENCH/BASELINE.md).
+    master = os.environ.get("CCER_MASTER", f"local[{cores}]")
     builder = (
-        SparkSession.builder.master(f"local[{cores}]")
+        SparkSession.builder.master(master)
         .appName(app_name)
+        # conf (not just env) so separate executor JVMs under
+        # local-cluster/standalone also spawn the resolved interpreter
+        .config("spark.pyspark.python", os.environ["PYSPARK_PYTHON"])
+        # local-cluster executors run Python workers in their own process
+        # tree and do NOT inherit the driver's sys.path — without this,
+        # every pandas-UDF import of ccer dies with ModuleNotFoundError.
+        # On a real multi-host cluster ship the package with
+        # `spark-submit --py-files ccer.zip` instead (same-host paths
+        # don't exist there); this conf only covers same-host executors.
+        .config(
+            "spark.executorEnv.PYTHONPATH",
+            os.pathsep.join(
+                p
+                for p in (
+                    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    os.environ.get("PYTHONPATH", ""),
+                )
+                if p
+            ),
+        )
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.default.parallelism", str(cores))
         .config("spark.sql.adaptive.enabled", "true")

@@ -63,7 +63,9 @@ def prepare_corpus(n_docs: int, path: str) -> None:
     spark.stop()
 
 
-def run_level(cores: int, corpus: str, workdir: str, job: str = "er") -> dict:
+def run_level(
+    cores: int, corpus: str, workdir: str, job: str = "er", env_extra: dict | None = None
+) -> dict:
     shutil.rmtree(workdir, ignore_errors=True)
     # level fairness: flush writeback, then WARM the corpus + jars so every
     # run at every level starts from the same (warm) page-cache state.
@@ -92,6 +94,7 @@ def run_level(cores: int, corpus: str, workdir: str, job: str = "er") -> dict:
         capture_output=True,
         text=True,
         timeout=3600,
+        env={**os.environ, **(env_extra or {})},
     )
     wall = time.time() - t0
     last_json = None
@@ -131,6 +134,23 @@ def main() -> None:
         help="which spark-submit job to scale: the ER pipeline or the "
         "curation funnel (same protocol, same corpus shape)",
     )
+    parser.add_argument(
+        "--executors",
+        default=None,
+        help="comma list E,4E: run each level as local-cluster[E, exec-cores, "
+        "exec-mem-mb] — E SEPARATE executor JVMs with real RPC shuffle and "
+        "serialization boundaries, the literal N-vs-4N-EXECUTORS shape of "
+        "the north rule (vs thread-level local[n]). Writes "
+        "SCALING_RUNS_EXECUTORS.md instead of the core-mode report.",
+    )
+    parser.add_argument("--exec-cores", type=int, default=4)
+    parser.add_argument(
+        "--exec-mem-mb",
+        type=int,
+        default=10240,
+        help="heap per executor JVM; mirrors the per-core sizing rationale "
+        "in ccer.session (each executor brings its own memory)",
+    )
     args = parser.parse_args()
 
     corpus = os.path.join(args.base, "pages_parquet")
@@ -139,8 +159,30 @@ def main() -> None:
         prepare_corpus(args.docs, corpus)
         time.sleep(10)  # let the prep session's JVM/page-cache churn settle
 
-    lo, hi = (int(x) for x in args.levels.split(","))
-    assert hi == 4 * lo, "levels must be N,4N"
+    if args.executors:
+        e_lo, e_hi = (int(x) for x in args.executors.split(","))
+        assert e_hi == 4 * e_lo, "executors must be E,4E"
+        lo, hi = e_lo * args.exec_cores, e_hi * args.exec_cores
+        # per-executor resources are FIXED across levels — adding
+        # executors adds their memory with them, the real-cluster shape;
+        # the driver does not need cores-scaled heap in cluster mode
+        level_env = {
+            lvl: {
+                "CCER_MASTER": f"local-cluster[{e},{args.exec_cores},{args.exec_mem_mb}]",
+                "CCER_OFFHEAP_SIZE": f"{max(4, args.exec_cores)}g",
+                "CCER_DRIVER_MEM": "8g",
+            }
+            for lvl, e in ((lo, e_lo), (hi, e_hi))
+        }
+        level_desc = {
+            lvl: f"local-cluster[{e},{args.exec_cores},{args.exec_mem_mb}]"
+            for lvl, e in ((lo, e_lo), (hi, e_hi))
+        }
+    else:
+        lo, hi = (int(x) for x in args.levels.split(","))
+        assert hi == 4 * lo, "levels must be N,4N"
+        level_env = {lo: {}, hi: {}}
+        level_desc = {lo: f"local[{lo}]", hi: f"local[{hi}]"}
 
     # interleaved rounds, each bracketed by a host-capacity burst: round i
     # uses the mean of brackets i and i+1 so each efficiency is normalized
@@ -156,9 +198,13 @@ def main() -> None:
     for r in range(args.repeat):  # cap, A, B | cap, A, B | … | cap
         brackets.append(capacity_bracket(f"pre round {r}"))
         for cores in (lo, hi):
-            print(f"run {r}: local[{cores}]...", flush=True)
+            print(f"run {r}: {level_desc[cores]}...", flush=True)
             res = run_level(
-                cores, corpus, os.path.join(args.workbase, f"wd_{cores}_{r}"), job=args.job
+                cores,
+                corpus,
+                os.path.join(args.workbase, f"wd_{cores}_{r}"),
+                job=args.job,
+                env_extra=level_env[cores],
             )
             print(json.dumps(res), flush=True)
             results[cores].append(res)
@@ -213,6 +259,7 @@ def main() -> None:
 
     summary = {
         "job": args.job,
+        "master_n": level_desc[lo], "master_4n": level_desc[hi],
         "n_docs": args.docs, "level_n": lo, "level_4n": hi,
         "n_rounds": args.repeat,
         "aggregation": "median over per-round efficiencies (bracketed capacity)",
@@ -235,7 +282,9 @@ def main() -> None:
         stage_lo = results[lo][-1].get("stage_sec", {})
         stage_hi = results[hi][-1].get("stage_sec", {})
         stage_names = ["features", "blocks", "pairs", "edges", "components", "clusters"]
-        out_name = "SCALING_RUNS.md"
+        out_name = (
+            "SCALING_RUNS_EXECUTORS.md" if args.executors else "SCALING_RUNS.md"
+        )
         job_desc = "Identical ER pipeline job (`jobs/run_pipeline.py`)"
     else:
         stage_lo = {
@@ -259,7 +308,7 @@ def main() -> None:
         fh.write(
             f"""# BENCH/{out_name[:-3]} — two-cluster-size scaling protocol
 
-{job_desc} on identical input
+{job_desc}, levels {level_desc[lo]} vs {level_desc[hi]}, on identical input
 ({args.docs:,} deterministic synthetic pages, seed=42, pre-materialized
 parquet), fresh JVM per run, {args.repeat} interleaved A/B rounds, each
 bracketed by a host-capacity burst. The features stage is bucketed on
