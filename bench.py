@@ -12,6 +12,18 @@ Headline set:
 
 The ER input is synthesized deterministically FROM the sf documents
 table (pages_from_documents), so the row count scales with sf.
+
+ROUND-COMPARABILITY PROTOCOL (VERDICT r3 "What's wrong" #1): a single
+wall time on this host is not evidence — deliverable IPC swings up to
+~2.5x with co-tenant load (BENCH/BASELINE.md "Host variance"; an r3
+bisect reproduced a 4.3x "regression" with the r2 build unchanged).
+Each headline query therefore runs CCER_BENCH_REPS times (default 3)
+and reports the MEDIAN; all per-rep walls are published under
+``queries_runs`` and the run is bracketed by host-capacity bursts
+(pre / mid / post) so any cross-round comparison can be capacity-
+qualified. The flagship's rep count self-limits to ~CCER_BENCH_ER_BUDGET
+seconds (default 900) based on its first rep, so a slow host window
+degrades to fewer reps rather than a blown driver time box.
 """
 
 from __future__ import annotations
@@ -24,12 +36,18 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _median(vals):
+    s = sorted(vals)
+    n = len(s)
+    return s[n // 2] if n % 2 else round((s[n // 2 - 1] + s[n // 2]) / 2, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    reps = max(1, int(os.environ.get("CCER_BENCH_REPS", "3")))
+    er_budget = float(os.environ.get("CCER_BENCH_ER_BUDGET", "900"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-
-    from pyspark.sql import functions as F
 
     from ccer.hostcap import capacity_sample
     from ccer.plans import driver_queries as dq
@@ -46,12 +64,21 @@ def main() -> None:
     spark = get_spark(app_name="ccer-bench", cores=cores, shuffle_partitions=cores)
 
     timings: dict[str, float] = {}
+    runs_all: dict[str, list[float]] = {}
     extras: dict[str, float] = {}
 
-    def timed(name, fn):
-        t0 = time.time()
-        out = fn()
-        timings[name] = round(time.time() - t0, 3)
+    def timed(name, fn, n_reps=reps, budget=None):
+        out, runs = None, []
+        for _ in range(n_reps):
+            t0 = time.time()
+            out = fn()
+            runs.append(round(time.time() - t0, 3))
+            # self-limiting rep count: on a slow host window, spend the
+            # budget on ONE honest number instead of blowing the time box
+            if budget is not None and sum(runs) + runs[0] > budget:
+                break
+        timings[name] = _median(runs)
+        runs_all[name] = runs
         return out
 
     # ---- flagship: ER pipeline over derived pages ----------------------
@@ -84,10 +111,12 @@ def main() -> None:
         feats.unpersist()
         return n
 
-    n_clustered = timed("er_pipeline", run_er)
+    n_clustered = timed("er_pipeline", run_er, budget=er_budget)
     extras["er_docs_per_sec"] = round(n_pages / timings["er_pipeline"], 1)
     extras["n_pages"] = n_pages
     assert n_clustered == n_pages
+
+    cap_mid = capacity_sample(cores)
 
     # ---- operator headliners -------------------------------------------
     timed("tpch_q1_agg", lambda: dq.q_tpch_q1_agg(spark, sf_dir).collect())
@@ -131,6 +160,10 @@ def main() -> None:
     timed("corpus_ops", corpus_ops)
 
     total = round(sum(timings.values()), 3)
+    # teardown races (executor heartbeat vs stop) log scary-but-harmless
+    # RpcEndpointVerifier stack traces at ERROR; silence the JVM logger
+    # so the bench artifact's stderr tail doesn't read as a crash (rc=0)
+    spark.sparkContext.setLogLevel("OFF")
     spark.stop()
     cap_post = capacity_sample(cores)
     print(
@@ -143,7 +176,10 @@ def main() -> None:
                 "sf": sf,
                 **extras,
                 "cores": cores,
-                "host_capacity": {"pre": cap_pre, "post": cap_post},
+                "reps": reps,
+                "aggregation": "median over per-query reps (all reps in queries_runs)",
+                "queries_runs": runs_all,
+                "host_capacity": {"pre": cap_pre, "mid": cap_mid, "post": cap_post},
             }
         )
     )

@@ -166,7 +166,11 @@ def run_curation(
     if eval_docs is not None:
         ev = eval_docs
         if "doc_id" not in ev.columns:
-            ev = ev.withColumn("doc_id", F.monotonically_increasing_id())
+            # content-derived id, NOT monotonically_increasing_id: only the
+            # eval grams are consumed downstream, but a partition-dependent
+            # id would make the funnel nondeterministic across retries —
+            # the engine's stable-id rule (features.py:50) applies here too
+            ev = ev.withColumn("doc_id", F.xxhash64(F.col("text")))
 
         def decontam_stage():
             flagged = decontaminate(quality, ev, n=cfg.decontam_n).select("doc_id")

@@ -112,6 +112,20 @@ def get_spark(
                 "-XX:+UseParallelGC -XX:-DontCompileHugeMethods",
             ),
         )
+        # Same opts on executors: under plain local[n] there is no separate
+        # executor JVM so this is a no-op, but under CCER_MASTER=
+        # local-cluster[...] (or a real cluster) the codegen-JIT unlock and
+        # throughput GC must apply where the tasks actually run — without
+        # it, huge whole-stage-codegen methods run interpreted on every
+        # executor (the ~80x blocks-stage pathology above) and executors
+        # default to G1.
+        .config(
+            "spark.executor.extraJavaOptions",
+            os.environ.get(
+                "CCER_DRIVER_JAVA_OPTS",
+                "-XX:+UseParallelGC -XX:-DontCompileHugeMethods",
+            ),
+        )
         # Tungsten execution memory off-heap (1g/core): sort/join pages
         # out of the GC's reach. Measured on the 480k-page edges stage at
         # local[16]: on-heap pages drove 1832s of summed GC task time and

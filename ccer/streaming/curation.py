@@ -153,10 +153,22 @@ def curate_batch(
     from pyspark.sql import Window
 
     n_part = max(2, spark.sparkContext.defaultParallelism)
+    # localCheckpoint pins the SAMPLED range boundaries: repartitionByRange
+    # re-samples per action, so without it the two consumers below (the
+    # per-partition counts and the ranked join) could see different
+    # partitionings and ids would be unstable. Cost trade-off, eyes open:
+    # this materializes the whole micro-batch — ride-along binary columns
+    # included — into executor storage for the batch's lifetime, and
+    # truncates lineage, so executor/block loss fails THIS batch job
+    # instead of recomputing. That is acceptable here because the caller
+    # is a foreachBatch sink: a failed batch is replayed from the
+    # streaming source checkpoint, so recoverability moves up a layer
+    # rather than being lost. On a giant batch with heavy ride-alongs,
+    # pre-project the payload out before calling curate_batch.
     by_range = (
         new_docs.repartitionByRange(n_part, F.col(text_col))
         .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)  # pin sampled range boundaries
+        .localCheckpoint(eager=True)
     )
     # per-partition counts are n_part rows — driver-side cumsum is free
     pid_counts = {

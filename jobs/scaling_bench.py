@@ -39,7 +39,6 @@ from __future__ import annotations
 
 import argparse
 import json
-import multiprocessing as mp
 import os
 import shutil
 import subprocess
@@ -50,6 +49,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 from ccer.hostcap import measure_effective_cores  # noqa: E402
+
 
 def prepare_corpus(n_docs: int, path: str) -> None:
     """Materialize the deterministic synthetic page corpus once; both
@@ -296,7 +296,11 @@ def main() -> None:
             for k, v in results[hi][-1].get("funnel", {}).items()
         }
         stage_names = ["docs", "exact", "neardup", "quality", "decontam", "sample"]
-        out_name = "SCALING_RUNS_CURATION.md"
+        out_name = (
+            "SCALING_RUNS_CURATION_EXECUTORS.md"
+            if args.executors
+            else "SCALING_RUNS_CURATION.md"
+        )
         job_desc = "Identical curation funnel job (`jobs/run_curation.py`)"
     round_rows = "\n".join(
         f"| {x['round']} | {x['elapsed_sec_n']:.1f} | {x['elapsed_sec_4n']:.1f} "
@@ -328,10 +332,10 @@ rounds. No best-of-window selection anywhere.
 
 ## Headline (medians over {args.repeat} rounds)
 
-| level | cores | elapsed median (s) | docs/sec | deliverable cores (median) |
+| level | master | elapsed median (s) | docs/sec | deliverable cores (median) |
 |---|---|---|---|---|
-| N  | local[{lo}]  | {med_lo:.1f} | {dps_lo:.1f} | {c_lo:.2f} |
-| 4N | local[{hi}] | {med_hi:.1f} | {dps_hi:.1f} | {c_hi:.2f} |
+| N  | {level_desc[lo]}  | {med_lo:.1f} | {dps_lo:.1f} | {c_lo:.2f} |
+| 4N | {level_desc[hi]} | {med_hi:.1f} | {dps_hi:.1f} | {c_hi:.2f} |
 
 | metric | median | all rounds | meaning |
 |---|---|---|---|
@@ -339,7 +343,7 @@ rounds. No best-of-window selection anywhere.
 | CPU-work conservation (Σ executorCpuTime N ÷ 4N) | **{work_ratio}** | — | ≈1.0 ⇒ added parallelism introduces no duplicated/overhead work; the plan's work is scale-invariant |
 | raw wall-clock efficiency (T_N/T_4N)/4 | {eff_wall:.3f} | {eff_walls} | the literal criterion, un-normalized; bounded above by host deliverable ratio / 4 ≈ {c_hi / c_lo / 4:.3f} on this machine |
 
-Achieved task concurrency (Σ executorRunTime / wall): {f"{conc_lo:.2f}" if conc_lo else "-"} at local[{lo}], {f"{conc_hi:.2f}" if conc_hi else "-"} at local[{hi}].
+Achieved task concurrency (Σ executorRunTime / wall): {f"{conc_lo:.2f}" if conc_lo else "-"} at {level_desc[lo]}, {f"{conc_hi:.2f}" if conc_hi else "-"} at {level_desc[hi]}.
 
 Host capacity is measured with CPU-bound multiprocessing bursts
 bracketing every round: an advertised core count of {hi} delivers only
@@ -350,7 +354,7 @@ conservation is the discriminator: a plan that failed to scale
 
 Per-stage seconds (last round):
 
-| stage | local[{lo}] | local[{hi}] |
+| stage | {level_desc[lo]} | {level_desc[hi]} |
 |---|---|---|
 """
             + "\n".join(

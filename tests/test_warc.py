@@ -67,6 +67,40 @@ def test_parse_warc_truncated_tail():
     assert len(list(parse_warc_bytes(raw))) == 2
 
 
+def test_committed_fixture_matches_driver_oracle():
+    """Drift guard for the driver-gated ``warc_parse`` query: re-derive
+    the expected rows from the COMMITTED fixture bytes with the plain-
+    Python parser + text kernel and assert they equal the VALUES literal
+    in SQL_WARC_PARSE (via DuckDB). Any change to the fixture, the
+    record grammar, or html_to_text that forgets to regenerate the
+    oracle (jobs/make_warc_fixture.py) fails here, not in the driver."""
+    import hashlib
+    import os
+
+    import duckdb
+
+    from ccer.functions.normalize import html_to_text
+    from ccer.plans.driver_queries import SQL_WARC_PARSE
+
+    fixdir = os.path.join(os.path.dirname(__file__), "fixtures")
+    rows = []
+    for name in ("cc_sample.warc", "cc_sample.warc.gz"):
+        with open(os.path.join(fixdir, name), "rb") as fh:
+            blob = fh.read()
+        for url, ts, body in parse_warc_bytes(blob):
+            text = html_to_text(body)
+            rows.append(
+                (
+                    url,
+                    ts.replace("T", " ").rstrip("Z"),
+                    len(body),
+                    hashlib.md5(text.encode("utf-8")).hexdigest(),
+                )
+            )
+    expected = duckdb.sql(SQL_WARC_PARSE).fetchall()
+    assert sorted(rows) == sorted(expected)
+
+
 def test_read_warc_page_shape(spark, tmp_path):
     from ccer.functions.normalize import html_to_text
 
