@@ -41,6 +41,21 @@ def get_spark(
     # RPC shuffle and serialization boundaries, the closest this sandbox
     # gets to a multi-executor cluster (BENCH/BASELINE.md).
     master = os.environ.get("CCER_MASTER", f"local[{cores}]")
+    # Under local-cluster[e,c,mem] every executor JVM still sees ALL host
+    # CPUs via Runtime.availableProcessors and sizes its internal thread
+    # pools for them: ParallelGC spawns ~(5/8)*ncpus GC threads, plus
+    # JIT compiler and netty IO pools — 4 executors on a 32-CPU host run
+    # ~90 GC threads against ~10 deliverable cores, and the collision is
+    # charged to task CPU (measured at 960k pages: 2,369-4,057 executor
+    # CPU-s at local-cluster[4,4] vs ~680 at local[16] for identical
+    # work). A REAL cluster never has this: cgroup-contained executors
+    # (YARN/K8s) see only their own cores. -XX:ActiveProcessorCount=c
+    # reproduces that containment, sizing every derived pool to the
+    # executor's actual core grant.
+    exec_core_bound = ""
+    if master.startswith("local-cluster["):
+        exec_cores = int(master.split("[", 1)[1].split(",")[1])
+        exec_core_bound = f" -XX:ActiveProcessorCount={exec_cores}"
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -118,13 +133,15 @@ def get_spark(
         # throughput GC must apply where the tasks actually run — without
         # it, huge whole-stage-codegen methods run interpreted on every
         # executor (the ~80x blocks-stage pathology above) and executors
-        # default to G1.
+        # default to G1. exec_core_bound (local-cluster only) adds the
+        # ActiveProcessorCount containment derived above.
         .config(
             "spark.executor.extraJavaOptions",
             os.environ.get(
                 "CCER_DRIVER_JAVA_OPTS",
                 "-XX:+UseParallelGC -XX:-DontCompileHugeMethods",
-            ),
+            )
+            + exec_core_bound,
         )
         # Tungsten execution memory off-heap (1g/core): sort/join pages
         # out of the GC's reach. Measured on the 480k-page edges stage at
