@@ -80,7 +80,7 @@ def token_jaccard_pairs(
     )
 
 
-SIGNATURE_SCHEMA = "id long, sig array<long>, simhash long, n_sh int"
+SIGNATURE_SCHEMA = "id long, sig array<int>, simhash long, n_sh int"
 
 
 def text_signatures(
@@ -90,7 +90,17 @@ def text_signatures(
     num_perm: int = 128,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """One Arrow pass: id → (MinHash signature, SimHash fingerprint)."""
+    """One Arrow pass: id → (MinHash signature, SimHash fingerprint).
+
+    Signatures are stored 32-bit (top half of each 64-bit min-hash,
+    order-preserving truncation — the same convention as the ER
+    features table, features.py:165-168, and datasketch's default
+    precision). Halves every downstream signature byte: the band-key
+    slices, the pair-verify join-backs, and the localCheckpointed
+    live set in the curation funnel / streaming state. Cost: an extra
+    2^-32 per-position collision probability in the estimated-Jaccard
+    match count — ≪ the sketch's own 1/sqrt(num_perm) noise.
+    """
 
     target = docs.sparkSession.sparkContext.defaultParallelism
     if docs.rdd.getNumPartitions() < target:
@@ -106,7 +116,7 @@ def text_signatures(
                 out.append(
                     (
                         int(rid),
-                        sig.astype(np.int64).tolist(),
+                        (sig >> np.uint64(32)).astype(np.uint32).view(np.int32).tolist(),
                         np.uint64(fp).astype(np.int64).item(),
                         int(sh.size),
                     )
@@ -141,12 +151,12 @@ def minhash_neardup_pairs(
         F.xxhash64(F.lit(b), F.slice("sig", b * rows_per_band + 1, rows_per_band))
         for b in range(bands)
     ]
-    # the 128-long signature (~1 KB) must NOT ride the band join or the
-    # pair-dedup exchange: block rows are bare (id, bucket) 16-byte pairs,
-    # the bucket self-join and dropDuplicates shuffle only ids, and the
-    # signatures join back on id afterwards (the ER scorer's slim-crossing
-    # pattern, scoring.py:253-270). At 10^12 docs the dedup exchange
-    # carries 16 B/pair instead of ~2 KB/pair.
+    # the 128-long signature (~0.5 KB at 32-bit precision) must NOT ride
+    # the band join or the pair-dedup exchange: block rows are bare
+    # (id, bucket) 16-byte pairs, the bucket self-join and dropDuplicates
+    # shuffle only ids, and the signatures join back on id afterwards
+    # (the ER scorer's slim-crossing pattern, scoring.py:253-270). At
+    # 10^12 docs the dedup exchange carries 16 B/pair instead of ~1 KB/pair.
     blocks = sigs.select("id", F.explode(F.array(*band_cols)).alias("bucket"))
     a = blocks.select(F.col("id").alias("id_a"), "bucket")
     b = blocks.select(F.col("id").alias("id_b"), "bucket")

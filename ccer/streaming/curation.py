@@ -62,7 +62,7 @@ class CurationState:
     component label, compressed); everything else is append-only."""
 
     seen: DataFrame        # (text_md5 binary, survivor_id long)
-    sigs: DataFrame        # (id long, sig array<long>) — every doc ever
+    sigs: DataFrame        # (id long, sig array<int>) — every doc ever
     buckets: DataFrame     # (bucket long, id long)
     comps: DataFrame       # (id long, component long)
     relabels: DataFrame    # (old_label long, new_label long), compressed
