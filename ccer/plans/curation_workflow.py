@@ -142,23 +142,26 @@ def run_curation(
     neardup = stage("neardup", neardup_sweep)
 
     def quality_gate():
-        sig = repetition_signals(neardup).select(
-            "doc_id", "dup_line_frac"
-        )
+        # repetition_signals and c4_filters are pure per-row column
+        # algebra, so the gate is an inline filter over the neardup
+        # scan — zero shuffles. (An earlier shape joined neardup
+        # against a projection of itself on doc_id, which Spark cannot
+        # recognize as an identity join: two full-corpus exchanges for
+        # nothing.)
+        keep_cols = neardup.columns
         toks = F.size(F.split(F.col("text"), r"\s+"))
         gated = (
-            neardup.join(sig, "doc_id")
+            repetition_signals(neardup)
             .filter(
                 (F.col("dup_line_frac") <= cfg.max_dup_line_frac)
                 & (toks >= cfg.min_tokens)
             )
-            .drop("dup_line_frac")
+            .select(*keep_cols)
         )
         if cfg.use_c4:
             from ccer.operators.quality import c4_filters
 
-            kept = c4_filters(neardup).filter(F.col("keep")).select("doc_id")
-            gated = gated.join(kept, "doc_id", "left_semi")
+            gated = c4_filters(gated).filter(F.col("keep")).select(*keep_cols)
         return gated
 
     quality = stage("quality", quality_gate)

@@ -310,6 +310,31 @@ def main() -> None:
         must_not_contain=["Window"],
     )
 
+    # exact dedup: ONE exchange, keyed on the 16-byte md5 digest — never
+    # the raw text as a shuffle key, and no residual self semi-join
+    # (the pre-r4 shape carried the corpus text across three exchanges)
+    from ccer.operators.dedup import exact_dedup
+
+    docs_full = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ed_text = plan_of(exact_dedup(docs_full))
+    # formatted explain prints each node in the tree ("Exchange (4)") and
+    # again in the details ("(4) Exchange") — count tree nodes only
+    import re as _re
+
+    n_exch = len(_re.findall(r"Exchange \(\d+\)", ed_text))
+    ed_ok = n_exch == 1 and "min_by" in ed_text and "md5" in ed_text
+    notes = [
+        f"{'✓' if n_exch == 1 else '✗'} exactly one Exchange ({n_exch} found)",
+        f"{'✓' if 'md5' in ed_text else '✗'} shuffle keyed on md5 digest, not raw text",
+        f"{'✓' if 'min_by' in ed_text else '✗'} min_by survivor pick (map-side duplicate collapse)",
+    ]
+    checks.append(("exact_dedup_single_digest_exchange", ed_ok, notes))
+    sections.append(
+        "## exact_dedup_single_digest_exchange\n\n"
+        + "\n".join(f"- {n}" for n in notes)
+        + f"\n\n```\n{ed_text[:3500]}\n```\n"
+    )
+
     asof_text = plan_of(dq.q_asof_join(spark, sf_dir))
     n_joins = asof_text.count("Join")
     asof_ok = "Window" in asof_text and "BroadcastNestedLoopJoin" not in asof_text
