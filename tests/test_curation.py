@@ -50,6 +50,31 @@ def test_exact_dedup(spark, corpus):
     assert kept.filter(F.col("doc_id") == 1).count() == 0
 
 
+def test_exact_dedup_survivor_row_intact_and_null_text(spark):
+    """The min_by survivor pick must return the survivor's FULL row
+    (not a column mix across group members), keep every non-duplicated
+    column value byte-identical, and treat NULL text as its own group
+    (one NULL-text survivor), matching the old groupBy+semi-join
+    semantics."""
+    rows = [
+        (10, "same text", "en", "s-keep"),
+        (11, "same text", "de", "s-drop"),
+        (12, None, "fr", "s-null-a"),
+        (13, None, "zh", "s-null-b"),
+        (14, "unique", "en", "s-solo"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    got = {r["doc_id"]: r for r in exact_dedup(df).collect()}
+    assert set(got) == {10, 12, 14}
+    # survivor carries ITS OWN ride-along columns, not the loser's
+    assert got[10]["lang"] == "en" and got[10]["source"] == "s-keep"
+    assert got[12]["lang"] == "fr" and got[12]["text"] is None
+    # column order preserved for downstream schema stability
+    assert exact_dedup(df).columns == df.columns
+
+
 def test_minhash_neardup_finds_planted(spark, corpus):
     pairs = {
         (r["id_a"], r["id_b"])
