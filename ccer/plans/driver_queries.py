@@ -1462,7 +1462,11 @@ WITH toks AS (
 ), c AS (
   SELECT doc_id, bigram, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY 1, 2
 )
-SELECT doc_id, sum(cnt) OVER (PARTITION BY doc_id) AS n_bigrams,
+SELECT doc_id,
+       -- DuckDB sum(BIGINT) yields HUGEINT -> decimal128 in Arrow, which
+       -- the driver normalizes as a float ("83.0" vs Spark's "83") and the
+       -- value hash diverges; cast back to BIGINT to match Spark's long.
+       CAST(sum(cnt) OVER (PARTITION BY doc_id) AS BIGINT) AS n_bigrams,
        bigram AS top_bigram, cnt AS top_bigram_count,
        round(CAST(cnt AS DOUBLE) / sum(cnt) OVER (PARTITION BY doc_id), 6)
          AS top_bigram_frac

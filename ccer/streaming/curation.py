@@ -302,6 +302,14 @@ def curate_batch(
 
 _STATE_TABLES = ("seen", "sigs", "buckets", "comps", "relabels")
 
+# Signature/bucket binary format version. Bump whenever the on-disk
+# encoding of ``sigs``/``buckets`` changes incompatibly — v2 is the
+# 32-bit MinHash signature + xxhash64-over-32-bit-slices bucket scheme;
+# v1 (array<long> sigs) state would load cleanly (unionByName widens
+# int->long silently) but its signatures/buckets never match new ones,
+# so near-duplicates of pre-upgrade docs would silently survive resume.
+_STATE_FORMAT_VERSION = 2
+
 
 def save_state(state: CurationState, path: str) -> None:
     """Persist the dedup state as parquet tables under ``path``. The
@@ -317,7 +325,10 @@ def save_state(state: CurationState, path: str) -> None:
             os.path.join(path, name)
         )
     with open(os.path.join(path, "_meta.json"), "w") as fh:
-        json.dump({"next_id": state.next_id}, fh)
+        json.dump(
+            {"next_id": state.next_id, "format_version": _STATE_FORMAT_VERSION},
+            fh,
+        )
 
 
 def load_state(spark: SparkSession, path: str) -> CurationState:
@@ -326,6 +337,16 @@ def load_state(spark: SparkSession, path: str) -> CurationState:
 
     with open(os.path.join(path, "_meta.json")) as fh:
         meta = json.load(fh)
+    found = meta.get("format_version", 1)
+    if found != _STATE_FORMAT_VERSION:
+        raise ValueError(
+            f"curation state at {path} has format_version={found}, this "
+            f"build writes v{_STATE_FORMAT_VERSION}: signatures/buckets "
+            "from the old format never match newly computed ones, so "
+            "resuming would silently miss near-duplicates of pre-upgrade "
+            "docs. Re-run the funnel from the raw corpus (or recompute "
+            "sigs/buckets for the persisted survivors) instead of resuming."
+        )
     frames = {
         name: spark.read.parquet(os.path.join(path, name))
         for name in _STATE_TABLES

@@ -54,8 +54,15 @@ def test_exact_dedup_survivor_row_intact_and_null_text(spark):
     """The min_by survivor pick must return the survivor's FULL row
     (not a column mix across group members), keep every non-duplicated
     column value byte-identical, and treat NULL text as its own group
-    (one NULL-text survivor), matching the old groupBy+semi-join
-    semantics."""
+    (one NULL-text survivor).
+
+    NULL handling is an INTENTIONAL semantics change from the earlier
+    groupBy+semi-join shape, not parity: the old semi-join on
+    ``[text, id]`` never matched NULL keys, so it dropped ALL NULL-text
+    rows; the min_by shape groups NULLs together and keeps exactly one
+    survivor. Keeping a row rather than silently deleting undecodable
+    documents is the behavior a curation funnel wants — the quality
+    gate downstream judges NULL text on its own terms."""
     rows = [
         (10, "same text", "en", "s-keep"),
         (11, "same text", "de", "s-drop"),

@@ -173,3 +173,26 @@ def test_stream_curate_end_to_end(spark, tmp_path, vocab):
     assert {r["url"] for r in out2.collect()} == {"u1", "u2", "u4"}
     st = load_state(spark, workdir + "/curation_state")
     assert st.next_id == 4 and st.seen.count() == 4
+
+    # state persisted by a pre-v2 build (64-bit sigs, no version stamp)
+    # must REFUSE to load: old sigs/buckets never match new ones, so a
+    # silent resume would miss near-duplicates of pre-upgrade docs.
+    import json
+    import os
+
+    import pytest
+
+    meta_path = os.path.join(workdir, "curation_state", "_meta.json")
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+    from ccer.streaming.curation import _STATE_FORMAT_VERSION
+
+    assert meta["format_version"] == _STATE_FORMAT_VERSION
+    stale = dict(meta)
+    del stale["format_version"]  # pre-versioning state had only next_id
+    with open(meta_path, "w") as fh:
+        json.dump(stale, fh)
+    with pytest.raises(ValueError, match="format_version=1"):
+        load_state(spark, workdir + "/curation_state")
+    with open(meta_path, "w") as fh:
+        json.dump(meta, fh)
