@@ -188,6 +188,17 @@ def salt_oversized_blocks(
     # almost always also band- or fingerprint-blocked, so a tight cap
     # costs ~no recall while cutting the quadratic same-host pair volume
     caps = {PASS_HOST: 16} if weak_pass_caps is None else weak_pass_caps
+    if profile is None and not blocks.isStreaming:
+        # no precomputed profile: the block rows feed BOTH the size
+        # profile and the salt join-back, and in a composed (unstaged)
+        # plan the whole upstream key explode would run once per branch
+        # (measured at 242k pages: ~115 executor-CPU-s of duplicated
+        # slice+hash work). A lazy localCheckpoint materializes the slim
+        # rows on first use so the second branch reads blocks instead of
+        # recomputing; callers that manage their own staging (the
+        # checkpointed pipeline, the incremental path) pass ``profile``
+        # and never hit this.
+        blocks = blocks.localCheckpoint(eager=False)
     cap_col = F.lit(block_cap)
     for pass_id, cap in caps.items():
         cap_col = F.when(
@@ -228,16 +239,29 @@ def candidate_pairs(
     hamming_prefilter: int | None = 26,
     host_hamming_prefilter: int | None = HOST_HAMMING_PREFILTER,
 ) -> DataFrame:
-    """In-block self-join → distinct candidate id pairs (id_a < id_b).
+    """In-block all-pairs → distinct candidate id pairs (id_a < id_b).
 
-    The join is a plain shuffle hash/sort-merge join on the 8-byte
-    block_key — the one place the engine is quadratic, which is exactly
-    why blocks were capped upstream. ``dropDuplicates`` dedups pairs
-    discovered by multiple passes (reference analog: DISTINCT over the
-    OR-join, repository.py:113).
+    Shape (r6 optimization — guide §2.3/§2.4 "shuffle fewer bytes / do
+    fewer shuffles"): ONE groupBy(block_key) collects each block's
+    members (sorted by id), the per-block rows are re-partitioned by
+    their minimum member id, and the quadratic pair generation runs as
+    two chained codegen generators (posexplode + slice-explode) over the
+    member arrays — no self-join at all. The previous self-join consumed
+    the ``blocks`` subtree twice (two exchanges of every block row; in
+    an uncheckpointed composed plan the whole upstream explode was
+    COMPUTED twice) and emitted one pair row per containing block: with
+    32 MinHash bands plus 3 SimHash rotations a true near-dup clique
+    crossed the pair-dedup exchange ~20-35x over (measured at 242k
+    pages: 1.86 GB shuffled, 271 executor-CPU-s to generate-then-discard
+    the duplicates). The min-id co-location makes the rediscoveries
+    collapse in the dedup's map-side partial aggregate instead; the
+    global ``dropDuplicates`` still guarantees exact distinctness
+    (reference analog: DISTINCT over the OR-join, repository.py:113).
+    The pair SET is bit-identical to the self-join formulation — only
+    where duplicates get dropped moved.
 
     ``hamming_prefilter``: pairs whose 64-bit SimHash fingerprints differ
-    in more than this many bits are discarded INSIDE the join (JVM
+    in more than this many bits are discarded in the generator stage (JVM
     ``bit_count(xor)``, whole-stage codegen) — random same-host pairs sit
     at ~32 bits and die here for the cost of one XOR. Exact-URL pairs
     (pass 1) bypass the filter: a re-crawl may have completely new
@@ -253,16 +277,47 @@ def candidate_pairs(
     pass finds is a same-site near-identical page, which sits at single-
     digit hamming; 16 bits keeps those while killing the correlated junk.
     """
-    left = blocks.select(
-        "block_key",
+    # one shuffle of the slim block rows; singleton blocks (most of the
+    # url pass) die here instead of riding a join
+    per_block = (
+        blocks.groupBy("block_key")
+        .agg(
+            F.min("pass_id").alias("pass_id"),
+            F.sort_array(F.collect_list(F.struct("id", "simhash"))).alias("members"),
+        )
+        .filter(F.size("members") > 1)
+    )
+    # co-locate blocks by their minimum member id: blocks of the same
+    # near-dup cluster (all the band/rotation blocks that keep
+    # re-discovering the same pairs) overwhelmingly share their min
+    # member, so the pair-dedup's MAP-SIDE partial aggregation collapses
+    # the cross-band duplicates locally and the global pair exchange
+    # carries ~the distinct pairs instead of every rediscovery (measured
+    # at 242k pages: 1.86 GB -> 268 MB on that exchange, pair-generation
+    # stage 271 -> 40 executor-CPU-s). Key spread is
+    # one partition per distinct min-id — no hot key: a cluster's pair
+    # volume is bounded by (#passes x cap^2) regardless of corpus size.
+    rep = per_block.repartition(F.col("members").getItem(0).getField("id"))
+    # all pairs within a block: members are sorted by unique id, so taking
+    # element i against the tail slice yields each unordered pair exactly
+    # once with id_a < id_b — two codegen generators, no join
+    exploded = rep.select(
+        "pass_id", "members", F.posexplode("members").alias("_i", "_a")
+    )
+    joined = exploded.select(
         "pass_id",
-        F.col("id").alias("id_a"),
-        F.col("simhash").alias("fp_a"),
-    )
-    right = blocks.select(
-        "block_key", F.col("id").alias("id_b"), F.col("simhash").alias("fp_b")
-    )
-    joined = left.join(right, "block_key").filter(F.col("id_a") < F.col("id_b"))
+        F.col("_a.id").alias("id_a"),
+        F.col("_a.simhash").alias("fp_a"),
+        F.explode(
+            F.slice("members", F.col("_i") + F.lit(2), F.size("members"))
+        ).alias("_b"),
+    ).select(
+        "pass_id",
+        "id_a",
+        "fp_a",
+        F.col("_b.id").alias("id_b"),
+        F.col("_b.simhash").alias("fp_b"),
+    ).filter(F.col("id_a") < F.col("id_b"))
     if hamming_prefilter is not None:
         dist = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
         host_bound = (

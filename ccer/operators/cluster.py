@@ -28,20 +28,36 @@ across re-runs, resumes, and different partition counts (north rule's
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
+
+# Star rounds as WINDOW aggregations (r6 optimization, guide §2.4): the
+# original groupBy-min + join-back consumed the bidirectional edge
+# exchange twice (once into the aggregate, once as the join probe) and
+# paid a third exchange for an intermediate distinct. min-over-partition
+# attaches the star minimum to every row in ONE pass over ONE exchange;
+# the per-round distinct moved entirely into small-star's output (the
+# only place the loop's convergence check needs distinct rows — the
+# intermediate large-star duplicates are absorbed by small-star's min
+# anyway). Edge SETS per round are unchanged, so labels and convergence
+# behavior are bit-identical. WindowExec buffers one star's rows at a
+# time in a spillable array — bounded by the largest star, same keys and
+# skew profile as the groupBy it replaces.
+def _star_window():
+    # built lazily: WindowSpec construction needs a live SparkContext
+    return Window.partitionBy("u").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
     bi = edges.select(F.col("id_a").alias("u"), F.col("id_b").alias("v")).unionAll(
         edges.select(F.col("id_b").alias("u"), F.col("id_a").alias("v"))
     )
-    mins = bi.groupBy("u").agg(F.min("v").alias("mn"))
-    mins = mins.select("u", F.least("mn", "u").alias("m"))
+    m = F.least(F.min("v").over(_star_window()), F.col("u"))
     return (
-        bi.join(mins, "u")
+        bi.select("u", "v", m.alias("m"))
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("id_a"), F.col("m").alias("id_b"))
-        .distinct()
     )
 
 
@@ -49,12 +65,14 @@ def _small_star(edges: DataFrame) -> DataFrame:
     canon = edges.select(
         F.greatest("id_a", "id_b").alias("u"), F.least("id_a", "id_b").alias("v")
     ).filter(F.col("u") != F.col("v"))
-    mins = canon.groupBy("u").agg(F.min("v").alias("m"))
-    neighbors = canon.join(mins, "u").filter(F.col("v") != F.col("m")).select(
-        F.col("v").alias("id_a"), F.col("m").alias("id_b")
-    )
-    self_edges = mins.select(F.col("u").alias("id_a"), F.col("m").alias("id_b"))
-    return neighbors.unionAll(self_edges).distinct()
+    rows = canon.select("u", "v", F.min("v").over(_star_window()).alias("m"))
+    # v == m rows stand in for the star's self-edge (u, m); the others
+    # re-attach their v to the minimum — one projection, no join, same
+    # output set as neighbors ∪ self_edges
+    return rows.select(
+        F.when(F.col("v") == F.col("m"), F.col("u")).otherwise(F.col("v")).alias("id_a"),
+        F.col("m").alias("id_b"),
+    ).distinct()
 
 
 def connected_components(

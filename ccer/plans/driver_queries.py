@@ -1764,6 +1764,14 @@ def pages_from_documents(
     near-duplicate of replica 0 (rotated by k words), so replicas of one
     doc form one true cluster of size ``amplify``."""
     if amplify > 1:
+        # spread the docs BEFORE the amplify explode: the exchange then
+        # carries the raw documents once instead of ``amplify`` rotated
+        # copies of every text (guide §2.3 — project/shrink before the
+        # shuffle), and the downstream feature pass inherits full
+        # parallelism so its own post-explode repartition never fires
+        target = docs.sparkSession.sparkContext.defaultParallelism
+        if docs.rdd.getNumPartitions() < target:
+            docs = docs.repartition(target)
         reps = F.explode(F.sequence(F.lit(0), F.lit(amplify - 1))).alias("rep")
         docs = docs.select("doc_id", "source", "text", "lang", reps)
         # rotate: drop the first rep words and append them at the end —

@@ -1,0 +1,57 @@
+"""Capture .explain("formatted") output for the queries touched in the
+round-6 optimization pass, into plans/r06/<query>_<tag>.txt.
+
+Usage: python jobs/capture_plans_r06.py before|after [query ...]
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DEFAULT_QUERIES = [
+    "er_cluster_documents",
+    "er_cluster_invariants",
+    "blocking_keys",
+    "minhash_neardup",
+    "ann_topk_ivf",
+    "tfidf_top_terms",
+    "chunk_dedup",
+    "decontam_overlap",
+    "source_stats",
+    "lang_id",
+    "quality_scores",
+    "token_counts",
+]
+
+
+def main() -> None:
+    tag = sys.argv[1] if len(sys.argv) > 1 else "before"
+    names = sys.argv[2:] or DEFAULT_QUERIES
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+    from ccer.plans import driver_queries as dq
+    from ccer.session import get_spark
+
+    spark = get_spark(app_name="ccer-plan-capture")
+    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r06")
+    os.makedirs(out_dir, exist_ok=True)
+    for name in names:
+        df = getattr(dq, f"q_{name}")(spark, sf_dir)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        path = os.path.join(out_dir, f"{name}_{tag}.txt")
+        with open(path, "w") as fh:
+            fh.write(buf.getvalue())
+        print(f"wrote {path}")
+    spark.sparkContext.setLogLevel("OFF")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
