@@ -165,6 +165,86 @@ def minhash_band_keys(
     return keys
 
 
+# ---------------------------------------------------------------------
+# Bit-exact numpy replica of Spark SQL's xxhash64 over the band-key
+# expression shape xxhash64(lit("m"), lit(band), slice(sig, .., rows)):
+# seed 42 chained through the UTF8 bytes of "m", the int band index, and
+# each int signature element (Spark hashes IntegerType fields with the
+# XXH64 4-byte step, unsigned-widened). Verified element-for-element
+# against F.xxhash64 in tests; letting the features Arrow pass emit the
+# band keys moves ~9M slice+hash calls per corpus pass out of the JVM
+# explode while keeping every key value identical (so JVM-derived and
+# precomputed blocks stay mutually compatible, batch or incremental).
+# ---------------------------------------------------------------------
+_XXH_P1 = np.uint64(0x9E3779B185EBCA87)
+_XXH_P2 = np.uint64(0xC2B2AE3D27D4EB4F)
+_XXH_P3 = np.uint64(0x165667B19E3779F9)
+_XXH_P4 = np.uint64(0x85EBCA77C2B2AE63)
+_XXH_P5 = np.uint64(0x27D4EB2F165667C5)
+_XXH_SEED = np.uint64(42)
+
+
+def _xxh_rotl(x, r: int):
+    r = np.uint64(r)
+    return (x << r) | (x >> (np.uint64(64) - r))
+
+
+def _xxh_fmix(h):
+    h ^= h >> np.uint64(33)
+    h *= _XXH_P2
+    h ^= h >> np.uint64(29)
+    h *= _XXH_P3
+    h ^= h >> np.uint64(32)
+    return h
+
+
+def _xxh_hash_int(value, seed):
+    """XXH64 of one 4-byte int (unsigned-widened) — Spark's IntegerType
+    field step. ``value``/``seed`` may be uint64 scalars or arrays."""
+    h = seed + _XXH_P5 + np.uint64(4)
+    h = h ^ (value * _XXH_P1)
+    h = _xxh_rotl(h, 23) * _XXH_P2 + _XXH_P3
+    return _xxh_fmix(h)
+
+
+def _xxh_hash_bytes(data: bytes, seed) -> np.uint64:
+    """XXH64 of a short (< 32 B) byte string — Spark's StringType step."""
+    h = np.uint64(seed) + _XXH_P5 + np.uint64(len(data))
+    i = 0
+    while i + 8 <= len(data):
+        k = np.uint64(int.from_bytes(data[i : i + 8], "little"))
+        h ^= _xxh_rotl(k * _XXH_P2, 31) * _XXH_P1
+        h = _xxh_rotl(h, 27) * _XXH_P1 + _XXH_P4
+        i += 8
+    if i + 4 <= len(data):
+        k = np.uint64(int.from_bytes(data[i : i + 4], "little"))
+        h ^= k * _XXH_P1
+        h = _xxh_rotl(h, 23) * _XXH_P2 + _XXH_P3
+        i += 4
+    while i < len(data):
+        h ^= np.uint64(data[i]) * _XXH_P5
+        h = _xxh_rotl(h, 11) * _XXH_P1
+        i += 1
+    return _xxh_fmix(h)
+
+
+def spark_minhash_band_keys(sig32: np.ndarray, bands: int, rows_per_band: int) -> np.ndarray:
+    """(n, num_perm) int32 signature matrix → (n, bands) int64 band keys,
+    value-identical to the JVM expression
+    ``xxhash64(lit("m"), lit(band), slice(sig, band*rows+1, rows))``."""
+    n = sig32.shape[0]
+    with np.errstate(over="ignore"):
+        u = sig32.view(np.uint32).astype(np.uint64)
+        h_m = _xxh_hash_bytes(b"m", _XXH_SEED)
+        out = np.empty((n, bands), dtype=np.uint64)
+        for b in range(bands):
+            hv = np.full(n, _xxh_hash_int(np.uint64(b), h_m), dtype=np.uint64)
+            for j in range(rows_per_band):
+                hv = _xxh_hash_int(u[:, b * rows_per_band + j], hv)
+            out[:, b] = hv
+    return out.view(np.int64)
+
+
 def simhash_from_hashes(base: np.ndarray, weights=None) -> int:
     """64-bit SimHash from pre-hashed tokens (optionally weighted).
 

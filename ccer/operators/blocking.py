@@ -88,14 +88,41 @@ def block_keys(
             )
         )
     if "minhash" in passes:
+        # the features pass precomputes the default banding's keys in its
+        # vectorized Arrow crossing (features.py FEATURE_BANDS), VALUE-
+        # identical to the JVM expression below (spark_minhash_band_keys
+        # is a verified bit-exact xxhash64 replica) — consuming them here
+        # removes 32 slice+hash calls per record from this explode
+        # (~115 executor-CPU-s per corpus pass at 242k pages). Any other
+        # banding, or a features table written before the column existed,
+        # falls back to the JVM path with the SAME key values, so mixed
+        # provenance (resume, incremental batches) stays consistent.
+        from ccer.operators.features import FEATURE_BANDS
+
+        precomputed = (
+            minhash_bands == FEATURE_BANDS
+            and num_perm % FEATURE_BANDS == 0
+            and "bands" in features.columns
+        )
         for band in range(minhash_bands):
-            entries.append(
-                F.struct(
+            if precomputed:
+                key = F.coalesce(
+                    F.col("bands").getItem(band),
                     F.xxhash64(
                         F.lit("m"),
                         F.lit(band),
                         F.slice("sig", band * rows_per_band + 1, rows_per_band),
-                    ).alias("block_key"),
+                    ),
+                )
+            else:
+                key = F.xxhash64(
+                    F.lit("m"),
+                    F.lit(band),
+                    F.slice("sig", band * rows_per_band + 1, rows_per_band),
+                )
+            entries.append(
+                F.struct(
+                    key.alias("block_key"),
                     F.lit(PASS_MINHASH).alias("pass_id"),
                 )
             )

@@ -22,7 +22,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-from ccer.functions.hashing import hash_tokens64, minhash_from_hashes, simhash_from_hashes
+from ccer.functions.hashing import hash64, minhash_from_hashes, simhash_from_hashes
 from ccer.functions.normalize import normalize_text, word_shingles
 
 
@@ -122,10 +122,25 @@ def text_signatures(
         docs = docs.repartition(target)
 
     def gen(iterator):
+        # per-task shingle-hash memo: near-dup corpora repeat shingles
+        # heavily, so most blake2b calls become dict hits (identical hash
+        # VALUES — this only caches hash_tokens64's per-string work).
+        # Bounded to keep worker RSS flat on adversarial vocabularies.
+        shingle_cache: dict = {}
         for pdf in iterator:
+            if len(shingle_cache) > 2_000_000:
+                shingle_cache.clear()
             out = []
             for rid, text in zip(pdf[id_col], pdf[text_col]):
-                sh = hash_tokens64(word_shingles(normalize_text(text) or "", k=shingle_k))
+                toks = word_shingles(normalize_text(text) or "", k=shingle_k)
+                for t in toks:
+                    if t not in shingle_cache:
+                        shingle_cache[t] = hash64(t)
+                sh = np.fromiter(
+                    map(shingle_cache.__getitem__, toks),
+                    dtype=np.uint64,
+                    count=len(toks),
+                )
                 sig = minhash_from_hashes(sh, num_perm=num_perm)
                 fp = simhash_from_hashes(sh)
                 out.append(
@@ -249,18 +264,38 @@ def _word_gram_hashes(
     yields no rows. Only the 8-byte hash, the id, and the count leave
     the projection — the gram strings are consumed inside the per-row
     expression, so any downstream shuffle carries ~20 B/gram regardless
-    of text size."""
+    of text size.
+
+    Gram identity (r6 optimization, guide §2.3 "narrower types" applied
+    to compute): each word is hashed ONCE, and a gram's 64-bit key is
+    the xxhash64 chain over its n word hashes — no n-word string is ever
+    materialized. With stride-1 windows the old array_join built (and
+    hashed) every text ~n times over; the word-hash window removes that
+    n-fold string construction. Gram keys are still a deterministic
+    injective-modulo-2^-64 function of the gram's word sequence (both
+    join sides use the same derivation), so the overlap counts the SQL
+    oracle checks are unchanged."""
     words = F.split(F.col(text_col), " ")
+    # materialize the word hashes as their own projection output BEFORE
+    # the window pass: referenced n times per gram, an inlined transform
+    # would re-hash every word of the doc once per element_at
+    hashed = docs.select(
+        F.col(id_col).alias("id"),
+        F.size(words).alias("_nw"),
+        F.transform(words, lambda w: F.xxhash64(w)).alias("_wh"),
+    )
     grams = F.when(
-        F.size(words) >= n,
+        F.col("_nw") >= n,
         F.transform(
-            F.sequence(F.lit(0), F.size(words) - n),
-            lambda i: F.xxhash64(F.array_join(F.slice(words, i + 1, n), " ")),
+            F.sequence(F.lit(1), F.col("_nw") - n + 1),
+            lambda i: F.xxhash64(
+                *[F.element_at("_wh", i + j) for j in range(n)]
+            ),
         ),
     ).otherwise(F.array().cast("array<bigint>"))
-    return docs.select(
-        F.col(id_col).alias("id"),
-        F.greatest(F.size(words) - n + 1, F.lit(0)).alias("n_grams"),
+    return hashed.select(
+        "id",
+        F.greatest(F.col("_nw") - n + 1, F.lit(0)).alias("n_grams"),
         F.explode(grams).alias("gh"),
     )
 

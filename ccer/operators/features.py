@@ -36,6 +36,7 @@ from ccer.functions.hashing import (
     minhash_from_hashes,
     shingle_hashes64,
     simhash_from_hashes,
+    spark_minhash_band_keys,
 )
 from ccer.functions.normalize import html_to_text, normalize_text, normalize_url, url_host
 
@@ -43,8 +44,14 @@ FEATURES_SCHEMA = (
     "rid string, id long, url string, warc_ts timestamp, lang string, "
     "url_norm string, host string, title_norm string, text_norm_hash long, "
     "text_prefix string, n_tokens int, n_sh int, sig array<int>, "
-    "simhash long, sh array<int>"
+    "simhash long, sh array<int>, bands array<long>"
 )
+
+# the precomputed LSH band-key layout carried in ``bands`` (see
+# spark_minhash_band_keys): block_keys consumes it only when asked for
+# exactly this banding, else it falls back to the value-identical JVM
+# slice+hash path
+FEATURE_BANDS = 32
 
 
 def stable_id(rid: str) -> int:
@@ -164,13 +171,24 @@ def extract_features(
                 n_tokens[i] = len(words)
                 # 32-bit hash space for signature + sketch: the top half
                 # of each 64-bit hash (order-preserving truncation)
-                sigs.append((sig >> np.uint64(32)).astype(np.uint32).view(np.int32))
+                sig32 = (sig >> np.uint64(32)).astype(np.uint32).view(np.int32)
+                sigs.append(sig32)
                 # bottom-k (KMV) sketch over the 32-bit hashes — unique
                 # ascending, so the scorer's set ops can assume_unique
                 h32 = np.unique((sh >> np.uint64(32)).astype(np.uint32))
                 n_shs[i] = h32.size
                 shs.append(h32[:sketch_k].view(np.int32))
                 fps[i] = np.uint64(fp).astype(np.int64)
+            # batch-vectorized LSH band keys (guide §4.2: hand the whole
+            # batch to numpy): value-identical to the JVM slice+hash the
+            # blocking stage would otherwise run per row per band
+            if n and num_perm % FEATURE_BANDS == 0:
+                band_mat = spark_minhash_band_keys(
+                    np.stack(sigs), FEATURE_BANDS, num_perm // FEATURE_BANDS
+                )
+                bands_col = list(band_mat)
+            else:
+                bands_col = [None] * n
             yield pd.DataFrame(
                 {
                     "rid": rids,
@@ -188,6 +206,7 @@ def extract_features(
                     "sig": sigs,
                     "simhash": fps,
                     "sh": shs,
+                    "bands": bands_col,
                 }
             )
 

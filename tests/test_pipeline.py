@@ -159,3 +159,47 @@ def test_scoring_null_url_pair(spark):
         assert out[(2, 4)] == (True, True), backend  # identical urls still match
         # identical sketches: the similarity override must still fire
         assert out[(2, 1)][1] is True, (backend, out[(2, 1)])
+
+
+def test_spark_minhash_band_keys_bit_exact(spark):
+    """The numpy xxhash64 replica that lets the features pass precompute
+    LSH band keys must match Spark's JVM expression bit-for-bit — this is
+    what keeps precomputed and fallback-derived blocks mutually
+    compatible (blocking.py block_keys, features.py FEATURE_BANDS)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from ccer.functions.hashing import spark_minhash_band_keys
+
+    rng = np.random.RandomState(7)
+    for bands, rows_per_band in [(32, 4), (16, 2)]:
+        num_perm = bands * rows_per_band
+        sig = rng.randint(-(2**31), 2**31, size=(64, num_perm)).astype(np.int32)
+        df = spark.createDataFrame(
+            [(i, sig[i].tolist()) for i in range(len(sig))], "id int, sig array<int>"
+        )
+        cols = [
+            F.xxhash64(
+                F.lit("m"), F.lit(b), F.slice("sig", b * rows_per_band + 1, rows_per_band)
+            ).alias(f"b{b}")
+            for b in range(bands)
+        ]
+        got = {r["id"]: r for r in df.select("id", *cols).collect()}
+        expect = spark_minhash_band_keys(sig, bands, rows_per_band)
+        for i in range(len(sig)):
+            for b in range(bands):
+                assert got[i][f"b{b}"] == int(expect[i, b])
+
+
+def test_block_keys_precomputed_bands_match_jvm(spark, corpus):
+    """block_keys over features WITH the precomputed bands column must
+    produce exactly the rows the JVM fallback produces."""
+    from ccer.operators.blocking import block_keys
+    from ccer.operators.features import extract_features
+
+    feats = extract_features(corpus).cache()
+    with_bands = block_keys(feats)
+    without_bands = block_keys(feats.drop("bands"))
+    assert with_bands.exceptAll(without_bands).count() == 0
+    assert without_bands.exceptAll(with_bands).count() == 0
+    feats.unpersist()
