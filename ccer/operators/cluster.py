@@ -99,7 +99,13 @@ def connected_components(
     forest is a fixed point of both star operations (Kiveris et al.'s
     converged state).
     """
-    current = edges.select("id_a", "id_b").filter(F.col("id_a") != F.col("id_b")).distinct()
+    # no up-front distinct (r6): duplicate input edges only add identical
+    # rows that the first round's window-min ignores and small-star's
+    # output distinct removes — the old eager dedup was a full exchange
+    # of the edge list that is a no-op for every caller in this engine
+    # (match_edges output is distinct by construction). The checkpoint
+    # stays: round 1 consumes the edge plan twice (both directions).
+    current = edges.select("id_a", "id_b").filter(F.col("id_a") != F.col("id_b"))
     current = current.localCheckpoint(eager=True)
     for _ in range(max_iterations):
         current = _small_star(_large_star(current))

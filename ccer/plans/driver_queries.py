@@ -2013,70 +2013,19 @@ SELECT * FROM (VALUES
 QUERIES = {
     # ORDERING POLICY: the driver gates only the LEADING 50 entries of
     # this dict per round (observed truncation in r2/r3 artifacts), so
-    # position is evidence rotation. r4 layout (VERDICT r3 "Next round"
-    # #4): flagship + its oracle gates first, then the 17 quality/
-    # curation/set-op queries the r3 artifact truncated out, then the
-    # new WARC ingestion gate, then the dedup/ANN family with each
-    # verification twin ADJACENT to the op it gates. The tail holds the
-    # relational rows already driver-green in BOTH r2 and r3 — the
-    # union of r02-r04 artifacts then covers all 69 registered queries.
+    # position is evidence rotation. r6 layout (VERDICT r5 "Next round"
+    # #3): flagship + its oracle gates first, then the 19 relational
+    # rows that sat in the r4/r5 tail (rotated back in so the r5+r6
+    # driver artifacts together cover all 69 registered queries), then
+    # the dedup/ANN family (each verification twin adjacent to the op it
+    # gates) and the r6-touched curation ops. The tail holds rows that
+    # were driver-green in the r5 artifact (CORRECTNESS_r05.json) and
+    # are unchanged this round.
     "er_cluster_invariants": q_er_cluster_invariants,
     "blocking_keys": q_blocking_keys,
     # flagship (no oracle by design — gated by the two green rows above)
     "er_cluster_documents": q_er_cluster_documents,
-    # text quality / curation ops (r3-truncated; judge re-ran all green)
-    "quality_scores": q_quality_scores,
-    "token_counts": q_token_counts,
-    "fingerprint": q_fingerprint,
-    "binary_meta": q_binary_meta,
-    "repetition_signals": q_repetition_signals,
-    "top_bigram": q_top_bigram,
-    "c4_filters": q_c4_filters,
-    "pii_redact": q_pii_redact,
-    "winnow_fingerprints": q_winnow_fingerprints,
-    "decontam_overlap": q_decontam_overlap,
-    "chunk_dedup": q_chunk_dedup,
-    "source_stats": q_source_stats,
-    "tfidf_top_terms": q_tfidf_top_terms,
-    "stratified_sample": q_stratified_sample,
-    "grouping_sets_agg": q_grouping_sets_agg,
-    "intersect_channels": q_intersect_channels,
-    "except_channels": q_except_channels,
-    # WARC ingestion (new r4: committed fixture, independent oracle)
-    "warc_parse": q_warc_parse,
-    "lang_id": q_lang_id,
-    # dedup / ANN family, verification twin adjacent to its op
-    "exact_dedup_groups": q_exact_dedup_groups,
-    "token_jaccard_neardup": q_token_jaccard_neardup,
-    "minhash_neardup": q_minhash_neardup,
-    "minhash_neardup_recall": q_minhash_neardup_recall,
-    "simhash_neardup": q_simhash_neardup,
-    "simhash_neardup_verified": q_simhash_neardup_verified,
-    "embedding_neardup_exact": q_embedding_neardup_exact,
-    "embedding_neardup_lsh": q_embedding_neardup_lsh,
-    "embedding_neardup_lsh_verified": q_embedding_neardup_lsh_verified,
-    "ann_topk": q_ann_topk,
-    "ann_topk_lsh": q_ann_topk_lsh,
-    "ann_topk_lsh_verified": q_ann_topk_lsh_verified,
-    "ann_topk_ivf": q_ann_topk_ivf,
-    "ann_topk_ivf_verified": q_ann_topk_ivf_verified,
-    # fuzzy kernels
-    "jw_similarity_pairs": q_jw_similarity_pairs,
-    "levenshtein_pairs": q_levenshtein_pairs,
-    "normalize_text_kernel": q_normalize_text_kernel,
-    "extract_doi_kernel": q_extract_doi_kernel,
-    # temporal / streaming batch-twins
-    "sessionize": q_sessionize,
-    "event_time_windows": q_event_time_windows,
-    "sliding_windows": q_sliding_windows,
-    "asof_join": q_asof_join,
-    "range_join": q_range_join,
-    "running_window": q_running_window,
-    "posexplode_index": q_posexplode_index,
-    "pivot_conditional_agg": q_pivot_conditional_agg,
-    "rollup_agg": q_rollup_agg,
-    "substring_containment_join": q_substring_containment_join,
-    # ---- position 51+: relational rows, driver-green in r2 AND r3 ----
+    # relational rows rotated back in from the r4/r5 tail
     "tpch_q1_agg": q_tpch_q1_agg,
     "filtered_scan_pushdown": q_filtered_scan_pushdown,
     "broadcast_join_agg": q_broadcast_join_agg,
@@ -2096,6 +2045,58 @@ QUERIES = {
     "derived_key": q_derived_key,
     "validity_filter": q_validity_filter,
     "exists_array_filter": q_exists_array_filter,
+    # dedup / ANN family, verification twin adjacent to its op
+    "exact_dedup_groups": q_exact_dedup_groups,
+    "token_jaccard_neardup": q_token_jaccard_neardup,
+    "minhash_neardup": q_minhash_neardup,
+    "minhash_neardup_recall": q_minhash_neardup_recall,
+    "simhash_neardup": q_simhash_neardup,
+    "simhash_neardup_verified": q_simhash_neardup_verified,
+    "embedding_neardup_exact": q_embedding_neardup_exact,
+    "embedding_neardup_lsh": q_embedding_neardup_lsh,
+    "embedding_neardup_lsh_verified": q_embedding_neardup_lsh_verified,
+    "ann_topk": q_ann_topk,
+    "ann_topk_lsh": q_ann_topk_lsh,
+    "ann_topk_lsh_verified": q_ann_topk_lsh_verified,
+    "ann_topk_ivf": q_ann_topk_ivf,
+    "ann_topk_ivf_verified": q_ann_topk_ivf_verified,
+    # curation ops touched by the r6 optimization pass (gram hashing,
+    # signature memo) — keep them driver-gated in the same round
+    "decontam_overlap": q_decontam_overlap,
+    "chunk_dedup": q_chunk_dedup,
+    "quality_scores": q_quality_scores,
+    "token_counts": q_token_counts,
+    "repetition_signals": q_repetition_signals,
+    "top_bigram": q_top_bigram,
+    "c4_filters": q_c4_filters,
+    "pii_redact": q_pii_redact,
+    "winnow_fingerprints": q_winnow_fingerprints,
+    "source_stats": q_source_stats,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "stratified_sample": q_stratified_sample,
+    # WARC ingestion (committed fixture, independent oracle)
+    "warc_parse": q_warc_parse,
+    "lang_id": q_lang_id,
+    # ---- position 51+: driver-green in the r5 artifact, untouched r6 ----
+    "fingerprint": q_fingerprint,
+    "binary_meta": q_binary_meta,
+    "grouping_sets_agg": q_grouping_sets_agg,
+    "intersect_channels": q_intersect_channels,
+    "except_channels": q_except_channels,
+    "jw_similarity_pairs": q_jw_similarity_pairs,
+    "levenshtein_pairs": q_levenshtein_pairs,
+    "normalize_text_kernel": q_normalize_text_kernel,
+    "extract_doi_kernel": q_extract_doi_kernel,
+    "sessionize": q_sessionize,
+    "event_time_windows": q_event_time_windows,
+    "sliding_windows": q_sliding_windows,
+    "asof_join": q_asof_join,
+    "range_join": q_range_join,
+    "running_window": q_running_window,
+    "posexplode_index": q_posexplode_index,
+    "pivot_conditional_agg": q_pivot_conditional_agg,
+    "rollup_agg": q_rollup_agg,
+    "substring_containment_join": q_substring_containment_join,
 }
 
 ORACLES = {

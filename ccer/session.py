@@ -94,6 +94,16 @@ def get_spark(
         # zstd checkpoints: the stage tables are write-once/read-once —
         # trade a little CPU (which scales) for disk I/O (which doesn't)
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # shuffle codec (guide §2.3): measured A/B on the ER pipeline at
+        # 242k pages/local[32] (r6): zstd ships 17% fewer shuffle bytes
+        # (1306 -> 1086 MB) for +25 executor-CPU-s and +0.8 s wall — on
+        # this single host the shuffle path is tmpfs memcpy, so bytes are
+        # nearly free and the extra CPU loses. On a real cluster, where
+        # the scoring/near-dup exchanges are network/bus-bound while CPU
+        # scales with executors (BENCH/BASELINE.md), the trade reverses:
+        # set CCER_IO_CODEC=zstd there (executor-mode scaling protocol
+        # does). Kept explicit so the production override is one env var.
+        .config("spark.io.compression.codec", os.environ.get("CCER_IO_CODEC", "lz4"))
         # local mode: the driver JVM hosts every executor thread. Heap is
         # sized PER CORE (default 2g/core, min 12g) because that is the
         # resource shape of a real cluster — every executor added brings

@@ -58,6 +58,14 @@ def value_hash(rows, columns):
 
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    # resolve bare names like "sf0.01" against the test-data root so the
+    # documented invocation works from any cwd (DuckDB resolves relative
+    # paths against the process cwd, which silently broke them before)
+    if not os.path.isabs(sf_dir) and not os.path.isdir(sf_dir):
+        candidate = os.path.join("/root/testdata", sf_dir)
+        if os.path.isdir(candidate):
+            sf_dir = candidate
+    sf_dir = os.path.abspath(sf_dir)
     only = set(sys.argv[2:])
 
     from ccer.session import get_spark

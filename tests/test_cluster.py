@@ -78,3 +78,13 @@ def test_assign_clusters_singletons(spark):
     comps = spark.createDataFrame([(2, 1), (1, 1)], "id long, component long")
     out = {r["id"]: r["cluster_id"] for r in assign_clusters(feats, comps).collect()}
     assert out == {1: 1, 2: 1, 3: 3}
+
+
+def test_cc_duplicate_and_self_edges(spark):
+    """The r6 CC restructure (window stars, no up-front distinct) must
+    absorb duplicate edges, reversed duplicates and self-loops without
+    changing labels."""
+    edges = [(1, 2), (2, 1), (1, 2), (3, 3), (4, 5), (5, 6), (4, 5), (7, 8)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    out = sorted((r["id"], r["component"]) for r in connected_components(df).collect())
+    assert out == [(1, 1), (2, 1), (4, 4), (5, 4), (6, 4), (7, 7), (8, 7)]
