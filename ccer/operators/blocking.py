@@ -225,6 +225,12 @@ def salt_oversized_blocks(
         # recomputing; callers that manage their own staging (the
         # checkpointed pipeline, the incremental path) pass ``profile``
         # and never hit this.
+        # deserialized (default) storage: this checkpoint is re-read hot
+        # by the profile branch, the salt join-back, AND the downstream
+        # pair generation — a serialized level was measured 5x more CPU
+        # on the re-reads (JavaSerializer per-row deser, 62->303 CPU-s)
+        # for a modest GC saving; the slim CC-round checkpoints are where
+        # serialized storage pays (see cluster.py).
         blocks = blocks.localCheckpoint(eager=False)
     cap_col = F.lit(block_cap)
     for pass_id, cap in caps.items():

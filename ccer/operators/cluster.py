@@ -30,6 +30,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from ccer.session import checkpoint_level, unpersist_checkpoint
+
 # Star rounds as WINDOW aggregations (r6 optimization, guide §2.4): the
 # original groupBy-min + join-back consumed the bidirectional edge
 # exchange twice (once into the aggregate, once as the join probe) and
@@ -105,11 +107,19 @@ def connected_components(
     # of the edge list that is a no-op for every caller in this engine
     # (match_edges output is distinct by construction). The checkpoint
     # stays: round 1 consumes the edge plan twice (both directions).
+    # round checkpoints are stored serialized and the superseded
+    # round is unpersisted as soon as its successor is materialized: the
+    # default (deserialized on-heap, freed only when the ContextCleaner
+    # notices) accumulated every round's edge rows on the heap and showed
+    # up as full-GC cascades during the collapsed tail rounds (guide §5).
+    level = checkpoint_level()
     current = edges.select("id_a", "id_b").filter(F.col("id_a") != F.col("id_b"))
-    current = current.localCheckpoint(eager=True)
+    current = current.localCheckpoint(eager=True, storageLevel=level)
     for _ in range(max_iterations):
+        prev = current
         current = _small_star(_large_star(current))
-        current = current.localCheckpoint(eager=True)
+        current = current.localCheckpoint(eager=True, storageLevel=level)
+        unpersist_checkpoint(prev)
         row = current.agg(
             F.count(F.lit(1)).alias("n"),
             F.countDistinct("id_a").alias("nd"),

@@ -200,6 +200,49 @@ def get_spark(
     return spark
 
 
+def checkpoint_level():
+    """Storage level for the engine's INTERNAL localCheckpoints (CC
+    rounds, the scorer's decided/ambiguous split, the salt join-back).
+
+    Default DataFrame.localCheckpoint caches DESERIALIZED on-heap rows:
+    every checkpointed row is a live heap object (plus per-field boxes
+    for arrays), and the checkpoints live until the ContextCleaner
+    happens to collect them — measured on the 242k-page ER run as a
+    full-GC cascade (449 summed GC-s of 1612 run-s; one CC-phase stage
+    spent 225 of 247 task-seconds in GC). SERIALIZED storage keeps each
+    partition as a handful of byte buffers — thousands of live objects
+    instead of tens of millions, which is what ParallelGC pause time
+    scales with. (OFF_HEAP would be better still, but
+    LocalRDDCheckpointData.transformStorageLevel strips the off-heap
+    bit from any level passed to localCheckpoint, so serialized
+    on-heap + disk is the strongest reachable level.) Read-side cost is
+    one deserialization per read of row-width bytes; every checkpoint
+    here is write-once/read-twice-or-thrice, so the trade is strictly
+    GC-bound. Storage level never affects row values — results are
+    bit-identical by construction.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    return StorageLevel.MEMORY_AND_DISK  # PySpark naming: serialized on-heap + disk
+
+
+def unpersist_checkpoint(df) -> None:
+    """Explicitly free a superseded localCheckpoint's cached blocks.
+
+    DataFrame.unpersist() only talks to the cacheManager and does NOT
+    free a localCheckpoint (its data hangs off the internal RDD inside
+    the LogicalRDD leaf); without this, every CC round's checkpoint
+    stays resident until a JVM GC discovers the dropped reference and
+    the ContextCleaner gets around to it — unbounded accumulation over
+    the round loop. Reaches the internal RDD via the analyzed plan;
+    best-effort (an API change degrades to the old leak-until-GC
+    behavior, never to an error)."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def task_metrics(spark: SparkSession) -> dict | None:
     """Aggregate executor task metrics over all completed stages, via the
     Spark UI REST API (requires spark.ui.enabled=true on the session).

@@ -119,6 +119,17 @@ def main():
         status = "OK " if entry.get("ok") else "FAIL"
         print(f"{status} {name}: {json.dumps(entry, default=str)[:220]}", flush=True)
 
+    # full (untruncated) per-query results for artifact generation — the
+    # console lines above clip each entry to 220 chars for readability
+    dump_path = os.environ.get("CCER_ORACLE_JSON")
+    if dump_path:
+        with open(dump_path, "w") as fh:
+            json.dump(
+                {"sf_dir": sf_dir, "n": len(results), "failed": failed, "queries": results},
+                fh,
+                indent=1,
+                default=str,
+            )
     print(json.dumps({"n": len(results), "failed": failed}))
     sys.exit(1 if failed else 0)
 

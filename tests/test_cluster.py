@@ -80,6 +80,28 @@ def test_assign_clusters_singletons(spark):
     assert out == {1: 1, 2: 1, 3: 3}
 
 
+def test_cc_releases_superseded_round_checkpoints(spark):
+    """The r6 round-checkpoint hygiene (serialized storage + explicit
+    unpersist of the superseded round) must leave at most the FINAL
+    round's blocks cached once connected_components returns — the old
+    behavior accumulated every round's checkpoint until the
+    ContextCleaner happened to collect it — while labels stay identical
+    to the union-find oracle on a multi-round graph."""
+    sc = spark.sparkContext
+    before = {i.id() for i in sc._jsc.sc().getRDDStorageInfo()}
+    edges = _random_edges(400, 500, seed=11)
+    oracle = _union_find_oracle(edges)
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["id"]: r["component"] for r in connected_components(df).collect()}
+    assert got == oracle
+    new_cached = [
+        i for i in sc._jsc.sc().getRDDStorageInfo() if i.id() not in before
+    ]
+    # only the final round's checkpoint may remain (freed by the caller's
+    # GC later); every superseded round must already be unpersisted
+    assert len(new_cached) <= 1, [str(i) for i in new_cached]
+
+
 def test_cc_duplicate_and_self_edges(spark):
     """The r6 CC restructure (window stars, no up-front distinct) must
     absorb duplicate edges, reversed duplicates and self-loops without
