@@ -107,6 +107,34 @@ def _set_cosine_batch(
 
     A, ska = mat(sha, np.int64(1) << 33)
     B, skb = mat(shb, np.int64(1) << 34)
+    return _cosine_from_mats(A, ska, B, skb, na, nb, k)
+
+
+def _mat_from_flat(flat_i32, offs, rows, pad_base, k):
+    """Padded (len(rows), k) int64 sketch matrix gathered straight from
+    an Arrow ListArray's flat values + offsets — value-identical to
+    ``mat`` above, zero per-row Python. Sketches are ≤ k elements by
+    construction (features emits ``h32[:sketch_k]``)."""
+    col = np.arange(k, dtype=np.int64)
+    lens = (offs[1:] - offs[:-1])[rows]
+    m = len(rows)
+    out = np.broadcast_to(pad_base + col, (m, k)).copy()
+    mask = col[None, :] < lens[:, None]
+    total = int(lens.sum())
+    if total:
+        cum = np.cumsum(lens) - lens
+        pos = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(cum, lens)
+            + np.repeat(offs[rows], lens)
+        )
+        out[mask] = flat_i32[pos].view(np.uint32).astype(np.int64)
+    return out, lens
+
+
+def _cosine_from_mats(A, ska, B, skb, na, nb, k):
+    """Shared estimator tail of ``_set_cosine_batch`` (exact + KMV
+    branches) over pre-built padded sketch matrices."""
     conc = np.concatenate([A, B], axis=1)        # (m, 2k)
     conc.sort(axis=1)                            # pads sort last, all distinct
     dup = conc[:, 1:] == conc[:, :-1]            # adjacent duplicate ⇔ A∩B member
@@ -341,34 +369,65 @@ def score_pairs(
 
 def _numpy_cosine_pass(slim: DataFrame, sketch_k: int) -> DataFrame:
     """String-free Arrow crossing: (ids, sketches, same_url) → s_set via
-    the vectorized sort-merge KMV estimator — the exact code the
-    all-Python scorer's tier 1 runs, so parity is by construction."""
+    the vectorized sort-merge KMV estimator — the same estimator tail
+    (``_cosine_from_mats``) the all-Python scorer's tier 1 runs, so
+    parity is by construction (pinned bit-for-bit by an exceptAll A/B
+    against the mapInPandas formulation and the three-backend 12-dp
+    parity test).
+
+    mapInArrow, not mapInPandas (r6, guide §4.2): the sketch lists are
+    unpacked straight from the Arrow ListArray's flat values + offsets
+    (one vectorized gather builds the padded estimator matrices —
+    ``_mat_from_flat``), so the crossing never boxes a per-row ndarray
+    on either side and the output is a RecordBatch built from numpy
+    arrays. The crossing's cost floor is the sketch payload itself
+    (2×64 ints/pair ≈ 3.8 GB at 7.4M pairs), so the win is modest —
+    measured medians 6.0 s vs 6.4 s on the isolated crossing at sf0.1 —
+    but strictly allocation-free on the Python side."""
+    import pyarrow as pa
 
     def cos_batch(iterator):
-        for pdf in iterator:
-            n = len(pdf)
-            same_url = pdf["same_url"].to_numpy()
+        for rb in iterator:
+            cols = {name: rb.column(i) for i, name in enumerate(rb.schema.names)}
+
+            def np_col(name):
+                return cols[name].to_numpy(zero_copy_only=False)
+
+            def flat_offs(name):
+                arr = cols[name]
+                # flatten() honors the array's own offset window; offsets
+                # re-based so index 0 addresses the flattened values
+                flat = arr.flatten().to_numpy(zero_copy_only=False)
+                offs = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+                return np.ascontiguousarray(flat, dtype=np.int32), offs - offs[0]
+
+            n = rb.num_rows
+            same_url = np_col("same_url").astype(bool, copy=False)
             s_set = np.zeros(n)
             rest = np.flatnonzero(~same_url)
             if rest.size:
-                s_set[rest] = _set_cosine_batch(
-                    pdf["sh_a"].iloc[rest].tolist(),
-                    pdf["sh_b"].iloc[rest].tolist(),
-                    pdf["n_sh_a"].to_numpy()[rest],
-                    pdf["n_sh_b"].to_numpy()[rest],
+                fa, oa = flat_offs("sh_a")
+                fb, ob = flat_offs("sh_b")
+                A, ska = _mat_from_flat(fa, oa, rest, np.int64(1) << 33, sketch_k)
+                B, skb = _mat_from_flat(fb, ob, rest, np.int64(1) << 34, sketch_k)
+                s_set[rest] = _cosine_from_mats(
+                    A, ska, B, skb,
+                    np_col("n_sh_a")[rest],
+                    np_col("n_sh_b")[rest],
                     sketch_k,
                 )
             s_set[same_url] = 1.0
-            yield pd.DataFrame(
-                {
-                    "id_a": pdf["id_a"].to_numpy(),
-                    "id_b": pdf["id_b"].to_numpy(),
-                    "s_set": s_set,
-                    "same_url": same_url,
-                }
+            yield pa.RecordBatch.from_arrays(
+                [
+                    cols["id_a"],
+                    cols["id_b"],
+                    pa.array(s_set, type=pa.float64()),
+                    pa.array(same_url, type=pa.bool_()),
+                ],
+                names=["id_a", "id_b", "s_set", "same_url"],
             )
 
-    return slim.select("id_a", "id_b", "sh_a", "sh_b", "n_sh_a", "n_sh_b", "same_url").mapInPandas(
+    return slim.select("id_a", "id_b", "sh_a", "sh_b", "n_sh_a", "n_sh_b", "same_url").mapInArrow(
         cos_batch, schema="id_a long, id_b long, s_set double, same_url boolean"
     )
 
